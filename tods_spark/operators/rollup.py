@@ -1,0 +1,204 @@
+"""Cascading continuous-aggregate rollup: raw → 1m → 1h → 1d.
+
+Generalizes the reference's ``TimeIntervalTransformPrimitive`` downsample
+(resample-interval mean + label binarize, tods/data_processing/
+TimeIntervalTransform.py:148-169) to the full algebraic aggregate set the
+north star requires: count / sum / min / max / mean / M2-variance /
+quantile-digest over ``n_tok``, computed once from raw and then RE-AGGREGATED
+tier-to-tier (never recomputed from raw):
+
+    count, sum, min, max       — trivially algebraic
+    mean = sum/count           — derived, kept for parity with resample-mean
+    var via (count, sum, sum_sq) composition
+    quantiles                  — mergeable inverse-CDF grid (functions/sketches)
+
+Scale notes (10^12 sequences, 1000 executors):
+  * raw→1m is ONE shuffle on (source, minute) with map-side partial
+    aggregation; the digest is built per-group in an `applyInPandas` stage
+    AFTER the cheap algebraic agg only when requested, so the common path is
+    pure Tungsten whole-stage codegen.
+  * the heavy `source` key ("web" ≈ 70% of rows) makes (source) alone a skew
+    bomb; the group key always includes the window, which spreads hot sources
+    across time — plus AQE skew handling and optional salting (operators/skew)
+    for the pathological single-hot-minute case.
+  * tier N+1 re-aggregates tier N: input is |windows| rows, orders of
+    magnitude smaller than raw; each cascade step is a cheap shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from tods_spark.functions import sketches
+
+TIERS = ("1m", "1h", "1d")
+TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+TIER_INTERVAL = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+AGG_COLS = [
+    "cnt",
+    "sum_n_tok",
+    "min_n_tok",
+    "max_n_tok",
+    "avg_n_tok",
+    "sum_sq_n_tok",
+]
+
+
+def rollup_raw(
+    df: DataFrame,
+    tier: str = "1m",
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    keys: tuple[str, ...] = ("source",),
+    with_digest: bool = False,
+) -> DataFrame:
+    """raw → first tier. One shuffle, algebraic aggs, codegen'd end to end."""
+    interval = TIER_INTERVAL[tier]
+    v = F.col(value_col).cast("double")
+    out = (
+        df.groupBy(*keys, F.window(ts_col, interval).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(v).alias("sum_n_tok"),
+            F.min(v).alias("min_n_tok"),
+            F.max(v).alias("max_n_tok"),
+            F.sum(v * v).alias("sum_sq_n_tok"),
+            *(
+                [F.sort_array(F.collect_list(v)).alias("_vals")]
+                if with_digest
+                else []
+            ),
+        )
+        .select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            F.lit(tier).alias("tier"),
+            "cnt",
+            "sum_n_tok",
+            "min_n_tok",
+            "max_n_tok",
+            (F.col("sum_n_tok") / F.col("cnt")).alias("avg_n_tok"),
+            "sum_sq_n_tok",
+            *(["_vals"] if with_digest else []),
+        )
+    )
+    if with_digest:
+        k = sketches.K_DEFAULT
+
+        @F.pandas_udf("array<double>")
+        def build_digest(vals: pd.Series) -> pd.Series:
+            return vals.map(
+                lambda a: sketches.digest_from_values(np.asarray(a, float), k)
+            )
+
+        out = out.withColumn("qdigest", build_digest("_vals")).drop("_vals")
+    return out
+
+
+def rollup_cascade(
+    tier_df: DataFrame,
+    from_tier: str,
+    to_tier: str,
+    keys: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """tier N → tier N+1 by re-aggregating stored state (algebraic compose;
+    digests merged via the weighted-grid kernel). Never touches raw."""
+    assert TIER_SECONDS[to_tier] % TIER_SECONDS[from_tier] == 0
+    has_digest = "qdigest" in tier_df.columns
+    parent = F.window("window_start", TIER_INTERVAL[to_tier])["start"]
+    gb = tier_df.groupBy(*keys, parent.alias("window_start"))
+    aggs = [
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_n_tok").alias("sum_n_tok"),
+        F.min("min_n_tok").alias("min_n_tok"),
+        F.max("max_n_tok").alias("max_n_tok"),
+        F.sum("sum_sq_n_tok").alias("sum_sq_n_tok"),
+    ]
+    if has_digest:
+        aggs += [
+            F.collect_list("qdigest").alias("_digests"),
+            F.collect_list("cnt").alias("_cnts"),
+        ]
+    out = gb.agg(*aggs).withColumn(
+        "avg_n_tok", F.col("sum_n_tok") / F.col("cnt")
+    )
+    if has_digest:
+
+        @F.pandas_udf("array<double>")
+        def merge(digs: pd.Series, cnts: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    sketches.merge_digests(
+                        [np.asarray(d, float) for d in ds],
+                        np.asarray(cs, float),
+                    )
+                    for ds, cs in zip(digs, cnts)
+                ]
+            )
+
+        out = out.withColumn("qdigest", merge("_digests", "_cnts")).drop(
+            "_digests", "_cnts"
+        )
+    cols = [*keys, "window_start", F.lit(to_tier).alias("tier"), *AGG_COLS]
+    if has_digest:
+        cols.append("qdigest")
+    return out.select(*cols)
+
+
+def variance_from_state(df: DataFrame) -> DataFrame:
+    """Population variance from the algebraic (cnt, sum, sum_sq) state —
+    matches the reference's np.var ddof=0 (StatisticalVar.py:307)."""
+    return df.withColumn(
+        "var_n_tok",
+        F.col("sum_sq_n_tok") / F.col("cnt")
+        - (F.col("sum_n_tok") / F.col("cnt")) ** 2,
+    )
+
+
+def full_cascade(
+    raw: DataFrame,
+    keys: tuple[str, ...] = ("source",),
+    value_col: str = "n_tok",
+    with_digest: bool = False,
+) -> dict[str, DataFrame]:
+    """Run raw → 1m → 1h → 1d; returns {tier: DataFrame}."""
+    t1m = rollup_raw(raw, "1m", value_col=value_col, keys=keys, with_digest=with_digest)
+    t1h = rollup_cascade(t1m, "1m", "1h", keys=keys)
+    t1d = rollup_cascade(t1h, "1h", "1d", keys=keys)
+    return {"1m": t1m, "1h": t1h, "1d": t1d}
+
+
+def resample_mean(
+    df: DataFrame,
+    interval: str = "5 minutes",
+    ts_col: str = "timestamp",
+    value_cols: tuple[str, ...] = ("value",),
+    label_col: str | None = "ground_truth",
+    ts_is_epoch: bool = True,
+) -> DataFrame:
+    """Exact reference semantics of TimeIntervalTransformPrimitive
+    (tods/data_processing/TimeIntervalTransform.py:148-169): resample to
+    `interval`, mean of value columns, resampled label binarized (>0 → 1),
+    empty buckets dropped (pandas resample keeps them as NaN then the
+    d3mIndex rebuild drops nothing — but mean of empty is NaN; we emit only
+    non-empty buckets, matching the non-gap fixtures; gap semantics are
+    handled by the dedicated gap-fill operator)."""
+    ts = (
+        F.timestamp_seconds(F.col(ts_col).cast("long"))
+        if ts_is_epoch
+        else F.col(ts_col)
+    )
+    aggs = [F.avg(c).alias(c) for c in value_cols]
+    if label_col is not None:
+        aggs.append(
+            F.max(F.when(F.col(label_col) > 0, 1).otherwise(0)).alias(label_col)
+        )
+    return (
+        df.groupBy(F.window(ts, interval).alias("w"))
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"), *value_cols,
+                *([label_col] if label_col else []))
+    )
