@@ -1,0 +1,120 @@
+"""Rollup cascade parity vs a pandas oracle + resample golden (F3/F9)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tods_spark.datagen import gen_pandas, token_table
+from tods_spark.functions import sketches
+from tods_spark.operators.rollup import full_cascade, resample_mean, variance_from_state
+
+from . import oracle
+
+
+def test_resample_golden_f3(spark):
+    # tods/tests/data_processing/test_TimeIntervalTransform.py:19-25,74
+    ts = 1472918400 + 300 * np.arange(8)
+    vals = np.arange(8, dtype=float)
+    gt = np.array([0, 1] * 4)
+    pdf = pd.DataFrame({"timestamp": ts, "value": vals, "ground_truth": gt})
+    out = (
+        resample_mean(spark.createDataFrame(pdf), "5 minutes")
+        .orderBy("window_start")
+        .toPandas()
+    )
+    assert len(out) == 8  # 300s-spaced data at 5min keeps all 8 rows
+    exp = oracle.resample_mean(ts, vals, gt, 300)
+    np.testing.assert_allclose(out["value"], exp["v"])
+    np.testing.assert_array_equal(out["ground_truth"], exp["g"])
+
+
+def _pandas_cascade(pdf: pd.DataFrame, tier_s: int) -> pd.DataFrame:
+    b = (pdf["ts"].astype("int64") // 10**9 // tier_s) * tier_s
+    g = pdf.assign(b=b).groupby(["source", "b"])["n_tok"]
+    out = g.agg(
+        cnt="count",
+        sum_n_tok="sum",
+        min_n_tok="min",
+        max_n_tok="max",
+        sum_sq_n_tok=lambda s: float((s.astype(float) ** 2).sum()),
+    ).reset_index()
+    out["avg_n_tok"] = out["sum_n_tok"] / out["cnt"]
+    return out
+
+
+def test_cascade_matches_pandas(spark):
+    n = 4000
+    raw = token_table(spark, n, partitions=7)
+    tiers = full_cascade(raw)
+    pdf = gen_pandas(np.arange(n))
+    for tier, secs in [("1m", 60), ("1h", 3600), ("1d", 86400)]:
+        got = (
+            tiers[tier]
+            .withColumn("b", (tiers[tier].window_start.cast("long")))
+            .orderBy("source", "b")
+            .toPandas()
+        )
+        exp = _pandas_cascade(pdf, secs).sort_values(["source", "b"]).reset_index(drop=True)
+        assert len(got) == len(exp), tier
+        np.testing.assert_array_equal(got["cnt"], exp["cnt"])
+        np.testing.assert_allclose(got["sum_n_tok"], exp["sum_n_tok"])
+        np.testing.assert_allclose(got["min_n_tok"], exp["min_n_tok"])
+        np.testing.assert_allclose(got["max_n_tok"], exp["max_n_tok"])
+        np.testing.assert_allclose(got["avg_n_tok"], exp["avg_n_tok"])
+        np.testing.assert_allclose(got["sum_sq_n_tok"], exp["sum_sq_n_tok"])
+
+
+def test_variance_from_state(spark):
+    raw = token_table(spark, 2000, partitions=4)
+    t1m = full_cascade(raw)["1m"]
+    got = variance_from_state(t1m).orderBy("source", "window_start").toPandas()
+    pdf = gen_pandas(np.arange(2000))
+    b = (pdf["ts"].astype("int64") // 10**9 // 60) * 60
+    exp = (
+        pdf.assign(b=b)
+        .groupby(["source", "b"])["n_tok"]
+        .agg(lambda s: float(np.var(s.astype(float))))
+        .reset_index(name="var")
+        .sort_values(["source", "b"])
+    )
+    np.testing.assert_allclose(got["var_n_tok"], exp["var"], rtol=1e-9, atol=1e-9)
+
+
+def test_digest_quantiles_cascade(spark):
+    """Merged 1h digests approximate true 1h quantiles within the grid bound."""
+    n = 6000
+    raw = token_table(spark, n, partitions=5)
+    tiers = full_cascade(raw, with_digest=True)
+    got = tiers["1h"].orderBy("source", "window_start").toPandas()
+    pdf = gen_pandas(np.arange(n))
+    b = (pdf["ts"].astype("int64") // 10**9 // 3600) * 3600
+    grouped = pdf.assign(b=b).groupby(["source", "b"])["n_tok"]
+    for (_, _), row in zip(grouped, got.iterrows()):
+        pass  # alignment checked below instead
+    vals = grouped.apply(lambda s: np.sort(s.astype(float).to_numpy()))
+    vals = vals.reset_index(name="v").sort_values(["source", "b"]).reset_index(drop=True)
+    assert len(vals) == len(got)
+    for i in range(len(got)):
+        dig = np.asarray(got["qdigest"][i], float)
+        v = vals["v"][i]
+        n = len(v)
+        for p in [0.5, 0.95, 0.99]:
+            est = sketches.digest_quantile(dig, p)
+            # sketch guarantee is a RANK bound: the estimate must fall
+            # between the order statistics at p ± (grid error + midpoint-vs-
+            # linear interpolation slack of ~1.5 sample ranks)
+            eps = 1.0 / sketches.K_DEFAULT + 1.5 / n
+            lo = v[max(0, int(np.floor((p - eps) * (n - 1))))]
+            hi = v[min(n - 1, int(np.ceil((p + eps) * (n - 1))))]
+            assert lo - 1e-9 <= est <= hi + 1e-9, (
+                got["source"][i], got["window_start"][i], p, est, lo, hi, n,
+            )
+
+
+def test_datagen_partition_independent(spark):
+    a = token_table(spark, 500, partitions=2).orderBy("doc_id").toPandas()
+    b = token_table(spark, 500, partitions=13).orderBy("doc_id").toPandas()
+    assert (a["n_tok"].values == b["n_tok"].values).all()
+    for x, y in zip(a["tokens"], b["tokens"]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -26,11 +26,16 @@ K_DEFAULT = 64
 
 
 def digest_from_values(values: np.ndarray, k: int = K_DEFAULT) -> np.ndarray:
-    """Exact inverse-CDF grid (linear interpolation, matches numpy/DuckDB
-    quantile_cont) over raw values."""
+    """Adaptive digest: EXACT sorted sample while n ≤ k+1 (zero error — the
+    common case for 1m windows), inverse-CDF grid above that (rank error
+    ≤ 1/k). Variable-length array<double>; `digest_quantile` evaluates both
+    forms identically (linspace interp over a sorted sample IS numpy's
+    linear quantile)."""
     v = np.asarray(values, dtype=np.float64)
     if v.size == 0:
         return np.full(k + 1, np.nan)
+    if v.size <= k + 1:
+        return np.sort(v)
     return np.quantile(v, np.linspace(0.0, 1.0, k + 1))
 
 
@@ -40,22 +45,30 @@ def merge_digests(
     k: int = K_DEFAULT,
 ) -> np.ndarray:
     """Weighted merge of inverse-CDF grids → new grid of the same size."""
-    ds, ws = [], []
+    ds, ws, exact = [], [], True
+    total = 0.0
     for d, c in zip(digests, np.asarray(counts, dtype=np.float64)):
         d = np.asarray(d, dtype=np.float64)
         if d.size == 0 or np.isnan(d).all() or c <= 0:
             continue
         ds.append(d)
         ws.append(np.full(d.size, c / d.size))
+        total += c
+        if d.size != int(c):
+            exact = False
     if not ds:
         return np.full(k + 1, np.nan)
     x = np.concatenate(ds)
     w = np.concatenate(ws)
     order = np.argsort(x, kind="stable")
     x, w = x[order], w[order]
+    if exact and x.size <= k + 1:
+        # every point is a raw sample and the merge still fits: stay exact
+        return x
     cw = np.cumsum(w)
-    # midpoint rank of each weighted point, normalized to [0, 1]
-    ranks = (cw - w / 2.0) / cw[-1]
+    # numpy linear-quantile rank convention: first point rank 0, last rank 1
+    denom = cw[-1] - w[-1]
+    ranks = (cw - w) / denom if denom > 0 else np.zeros_like(cw)
     grid = np.linspace(0.0, 1.0, k + 1)
     return np.interp(grid, ranks, x)
 

@@ -118,30 +118,28 @@ def rollup_cascade(
         F.sum("sum_sq_n_tok").alias("sum_sq_n_tok"),
     ]
     if has_digest:
-        aggs += [
-            F.collect_list("qdigest").alias("_digests"),
-            F.collect_list("cnt").alias("_cnts"),
-        ]
+        # one collect_list of structs: guarantees (digest, cnt) stay paired
+        aggs.append(
+            F.collect_list(F.struct("qdigest", "cnt")).alias("_dstate")
+        )
     out = gb.agg(*aggs).withColumn(
         "avg_n_tok", F.col("sum_n_tok") / F.col("cnt")
     )
     if has_digest:
 
         @F.pandas_udf("array<double>")
-        def merge(digs: pd.Series, cnts: pd.Series) -> pd.Series:
+        def merge(states: pd.Series) -> pd.Series:
             return pd.Series(
                 [
                     sketches.merge_digests(
-                        [np.asarray(d, float) for d in ds],
-                        np.asarray(cs, float),
+                        [np.asarray(s["qdigest"], float) for s in st],
+                        np.asarray([s["cnt"] for s in st], float),
                     )
-                    for ds, cs in zip(digs, cnts)
+                    for st in states
                 ]
             )
 
-        out = out.withColumn("qdigest", merge("_digests", "_cnts")).drop(
-            "_digests", "_cnts"
-        )
+        out = out.withColumn("qdigest", merge("_dstate")).drop("_dstate")
     cols = [*keys, "window_start", F.lit(to_tier).alias("tier"), *AGG_COLS]
     if has_digest:
         cols.append("qdigest")
