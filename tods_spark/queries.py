@@ -1,0 +1,729 @@
+"""Driver-contract query registry: name → (spark, sf_dir) → DataFrame, with
+DuckDB oracle twins (ANSI SQL over the same parquet views).
+
+Conventions that make the driver's order-insensitive value-hash comparison
+deterministic:
+  * every computed/aggregate column is aliased identically on both sides;
+  * every floating aggregate is round()ed to 4 decimals on BOTH sides (sum
+    order across engines differs in the last ulp);
+  * every top-k / first-row rule breaks ties on a unique id column;
+  * session timezone is UTC (tods_spark.session), matching DuckDB's naive
+    timestamps.
+
+Operator provenance is cited per query (reference file:line — see SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from tods_spark.operators import gapfill, rollup, segmentation, tokens, validation
+from tods_spark.operators import windows as WOP
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _r4(c):
+    """Round to 4 decimals with a 1e-9 nudge: engines summing in different
+    orders land within ulps of each other; a raw round() diverges exactly at
+    .00005 ties (e.g. 386.05/8). The nudge — applied identically in every
+    oracle's SQL — pushes ties off the boundary consistently."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(c + F.lit(1e-9), 4)
+
+
+def _epoch(c):
+    """Epoch seconds from either TIMESTAMP or TIMESTAMP_NTZ (parquet without
+    tz info reads as NTZ in Spark 4; NTZ→long needs an LTZ hop, UTC session)."""
+    return F.col(c).cast("timestamp_ltz").cast("long")
+
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# A. rollup tiers (TimeIntervalTransform generalized — TimeIntervalTransform.py:148-169)
+# --------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+SELECT event_type,
+       time_bucket(INTERVAL '{iv}', ts) AS window_start,
+       count(*) AS cnt,
+       round(sum(value) + 1e-9, 4) AS sum_value,
+       round(min(value) + 1e-9, 4) AS min_value,
+       round(max(value) + 1e-9, 4) AS max_value,
+       round(round(sum(value) + 1e-9, 4) / count(*) + 1e-9, 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _rollup_finish(t: DataFrame) -> DataFrame:
+    # avg derived from the ROUNDED sum so both engines divide identical
+    # doubles (raw sums differ in the last ulp across summation orders)
+    return t.select(
+        "event_type",
+        "window_start",
+        "cnt",
+        _r4("sum_n_tok").alias("sum_value"),
+        _r4("min_n_tok").alias("min_value"),
+        _r4("max_n_tok").alias("max_value"),
+        _r4(_r4("sum_n_tok") / F.col("cnt")).alias("avg_value"),
+    )
+
+
+@register("rollup_1m", _ROLLUP_SQL.format(iv="1 minute"))
+def rollup_1m(spark, sf_dir):
+    t = rollup.rollup_raw(_events(spark, sf_dir), "1m", value_col="value",
+                          keys=("event_type",))
+    return _rollup_finish(t)
+
+
+@register("rollup_1h_cascade", _ROLLUP_SQL.format(iv="1 hour"))
+def rollup_1h_cascade(spark, sf_dir):
+    """1m tier re-aggregated to 1h (algebraic cascade); oracle computes the
+    1h rollup directly from raw — equality proves the cascade composes."""
+    t1m = rollup.rollup_raw(_events(spark, sf_dir), "1m", value_col="value",
+                            keys=("event_type",))
+    return _rollup_finish(rollup.rollup_cascade(t1m, "1m", "1h", keys=("event_type",)))
+
+
+@register("rollup_1d_cascade", _ROLLUP_SQL.format(iv="1 day"))
+def rollup_1d_cascade(spark, sf_dir):
+    t1m = rollup.rollup_raw(_events(spark, sf_dir), "1m", value_col="value",
+                            keys=("event_type",))
+    t1h = rollup.rollup_cascade(t1m, "1m", "1h", keys=("event_type",))
+    return _rollup_finish(rollup.rollup_cascade(t1h, "1h", "1d", keys=("event_type",)))
+
+
+@register(
+    "resample_5m",
+    """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       round(round(sum(value) + 1e-9, 4) / count(*) + 1e-9, 4) AS value,
+       max(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS ground_truth
+FROM events
+GROUP BY 1
+""",
+)
+def resample_5m(spark, sf_dir):
+    """TimeIntervalTransform resample-mean + label binarize (F3 semantics;
+    TimeIntervalTransform.py:148-169); the >10 indicator plays ground_truth.
+    Mean emitted as rounded-sum/count for cross-engine determinism."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            _r4(F.sum("value")).alias("__s__"),
+            F.count(F.lit(1)).alias("__c__"),
+            F.max(F.when(F.col("value") > 10, 1).otherwise(0)).alias("ground_truth"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            _r4(F.col("__s__") / F.col("__c__")).alias("value"),
+            "ground_truth",
+        )
+    )
+
+
+@register(
+    "rollup_var_1h",
+    """
+SELECT event_type,
+       time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       round(var_pop(value) + 1e-9, 4) AS var_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def rollup_var_1h(spark, sf_dir):
+    """Variance composed from (cnt, sum, sum_sq) state across the cascade —
+    np.var ddof=0 parity (StatisticalVar.py:307)."""
+    t1m = rollup.rollup_raw(_events(spark, sf_dir), "1m", value_col="value",
+                            keys=("event_type",))
+    t1h = rollup.rollup_cascade(t1m, "1m", "1h", keys=("event_type",))
+    return rollup.variance_from_state(t1h).select(
+        "event_type", "window_start", _r4("var_n_tok").alias("var_value")
+    )
+
+
+@register(
+    "rollup_quantiles_1h",
+    """
+SELECT event_type,
+       time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+       round(quantile_cont(value, 0.95) + 1e-9, 4) AS p95
+FROM events
+GROUP BY 1, 2
+""",
+)
+def rollup_quantiles_1h(spark, sf_dir):
+    """Exact percentiles at the 1h tier (Spark `percentile` == DuckDB
+    quantile_cont). The engine's cascading path uses the mergeable digest
+    (functions/sketches) — digest accuracy is asserted in pytest; this query
+    pins the exact-quantile semantics the digest approximates."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            _r4(F.percentile("value", F.lit(0.5))).alias("p50"),
+            _r4(F.percentile("value", F.lit(0.95))).alias("p95"),
+        )
+        .select("event_type", F.col("w.start").alias("window_start"), "p50", "p95")
+    )
+
+
+# --------------------------------------------------------------------------
+# B. window statistics on the 1m rollup series (StatisticalMean.py:308-326
+#    trailing+backfill; MovingAverageTransformer.py:198 centered w=3)
+#    Series = per event_type 1-minute avg_value ordered by window_start.
+# --------------------------------------------------------------------------
+
+_SERIES_SQL = """
+series AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 minute', ts) AS window_start,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
+def _series(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 minute").alias("w"))
+        .agg(F.avg("value").alias("v"))
+        .select("event_type", F.col("w.start").alias("window_start"), "v")
+    )
+
+
+def _stat_sql(raw_expr: str, w: int, out: str, round4: bool = True) -> str:
+    """Trailing frame + reference backfill (out[:w-1] = out[w-1]) in SQL."""
+    val = (
+        f"CASE WHEN rn < {w} THEN max(CASE WHEN rn = {w} THEN raw END) "
+        f"OVER (PARTITION BY event_type) ELSE raw END"
+    )
+    if round4:
+        val = f"round({val} + 1e-9, 4)"
+    return f"""
+WITH {_SERIES_SQL},
+base AS (
+  SELECT event_type, window_start,
+         row_number() OVER win AS rn,
+         {raw_expr} AS raw
+  FROM series
+  WINDOW win AS (PARTITION BY event_type ORDER BY window_start),
+         frame AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, window_start, {val} AS {out} FROM base
+"""
+
+
+def _mk_stat_query(stat: str, w: int, threshold: float = 0.0):
+    def q(spark, sf_dir):
+        s = _series(spark, sf_dir)
+        out = WOP.stat_window(
+            s, ["v"], stat, window_size=w, keys=["event_type"],
+            order_col="window_start", threshold=threshold,
+        )
+        return out.select(
+            "event_type", "window_start", _r4(f"v_{stat}").alias(f"v_{stat}")
+        )
+
+    return q
+
+
+QUERIES["stat_mean_w5"] = _mk_stat_query("mean", 5)
+ORACLES["stat_mean_w5"] = _stat_sql("avg(v) OVER frame", 5, "v_mean")
+QUERIES["stat_max_w5"] = _mk_stat_query("maximum", 5)
+ORACLES["stat_max_w5"] = _stat_sql("max(v) OVER frame", 5, "v_maximum")
+QUERIES["stat_min_w5"] = _mk_stat_query("minimum", 5)
+ORACLES["stat_min_w5"] = _stat_sql("min(v) OVER frame", 5, "v_minimum")
+QUERIES["stat_std_w5"] = _mk_stat_query("std", 5)
+ORACLES["stat_std_w5"] = _stat_sql(
+    "coalesce(stddev_pop(v) OVER frame, 0.0)", 5, "v_std"
+)
+QUERIES["stat_var_w5"] = _mk_stat_query("var", 5)
+ORACLES["stat_var_w5"] = _stat_sql("coalesce(var_pop(v) OVER frame, 0.0)", 5, "v_var")
+QUERIES["stat_abs_energy_w5"] = _mk_stat_query("abs_energy", 5)
+ORACLES["stat_abs_energy_w5"] = _stat_sql(
+    "round(sum(v*v) OVER frame, 4)", 5, "v_abs_energy"
+)
+QUERIES["stat_mean_abs_w5"] = _mk_stat_query("mean_abs", 5)
+ORACLES["stat_mean_abs_w5"] = _stat_sql("avg(abs(v)) OVER frame", 5, "v_mean_abs")
+QUERIES["stat_vec_sum_w5"] = _mk_stat_query("vec_sum", 5)
+ORACLES["stat_vec_sum_w5"] = _stat_sql("sum(v) OVER frame", 5, "v_vec_sum")
+QUERIES["stat_median_w5"] = _mk_stat_query("median", 5)
+ORACLES["stat_median_w5"] = _stat_sql(
+    "quantile_cont(v, 0.5) OVER frame", 5, "v_median"
+)
+QUERIES["stat_mtd_w5"] = _mk_stat_query("mean_temporal_derivative", 5)
+ORACLES["stat_mtd_w5"] = _stat_sql(
+    "(last_value(v) OVER frame - first_value(v) OVER frame) / 4.0",
+    5,
+    "v_mean_temporal_derivative",
+)
+QUERIES["stat_full_series_mean"] = _mk_stat_query("mean", -1)
+ORACLES["stat_full_series_mean"] = f"""
+WITH {_SERIES_SQL}
+SELECT event_type, window_start,
+       round(avg(v) OVER (PARTITION BY event_type) + 1e-9, 4) AS v_mean
+FROM series
+"""
+
+
+@register(
+    "moving_average_w3",
+    f"""
+WITH {_SERIES_SQL}
+SELECT event_type, window_start,
+       round(avg(v) OVER (PARTITION BY event_type ORDER BY window_start
+                          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) + 1e-9, 4)
+         AS v_moving_average
+FROM series
+""",
+)
+def moving_average_w3(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    out = WOP.moving_average(s, ["v"], keys=["event_type"], order_col="window_start")
+    return out.select(
+        "event_type", "window_start", _r4("v_moving_average").alias("v_moving_average")
+    )
+
+
+@register(
+    "zero_crossing",
+    f"""
+WITH {_SERIES_SQL},
+c AS (SELECT event_type, window_start, v - 15.0 AS cv FROM series)
+SELECT event_type, window_start,
+       CASE WHEN cv * lag(cv) OVER (PARTITION BY event_type ORDER BY window_start)
+                 < 0 THEN 1.0 ELSE 0.0 END AS cv_zero_crossing
+FROM c
+""",
+)
+def zero_crossing(spark, sf_dir):
+    # center the series so crossings exist (StatisticalZeroCrossing.py:315)
+    s = _series(spark, sf_dir).withColumn("cv", F.col("v") - 15.0)
+    out = WOP.stat_window(s, ["cv"], "zero_crossing", keys=["event_type"],
+                          order_col="window_start")
+    return out.select("event_type", "window_start", "cv_zero_crossing")
+
+
+@register(
+    "willison_amplitude_w5",
+    f"""
+WITH {_SERIES_SQL},
+ind AS (
+  SELECT event_type, window_start,
+         CASE WHEN abs(v - lag(v, 1, 0.0)
+               OVER (PARTITION BY event_type ORDER BY window_start)) > 5.0
+              THEN 1.0 ELSE 0.0 END AS iv
+  FROM series
+),
+base AS (
+  SELECT event_type, window_start, row_number() OVER win AS rn,
+         sum(iv) OVER frame AS raw
+  FROM ind
+  WINDOW win AS (PARTITION BY event_type ORDER BY window_start),
+         frame AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, window_start,
+       CASE WHEN rn < 5 THEN max(CASE WHEN rn = 5 THEN raw END)
+            OVER (PARTITION BY event_type) ELSE raw END AS v_willison_amplitude
+FROM base
+""",
+)
+def willison_amplitude_w5(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    out = WOP.stat_window(s, ["v"], "willison_amplitude", window_size=5,
+                          keys=["event_type"], order_col="window_start",
+                          threshold=5.0)
+    return out.select("event_type", "window_start", "v_willison_amplitude")
+
+
+# --------------------------------------------------------------------------
+# C. dedup / top-k / thresholds (DuplicationValidation.py:73-87,
+#    CollectiveBase.py:340-345, SystemWiseDetection.py:307-341, Ensemble.py:190-208)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minute_first",
+    """
+SELECT event_type, window_start, event_id, value FROM (
+  SELECT event_type, time_bucket(INTERVAL '1 minute', ts) AS window_start,
+         event_id, value,
+         row_number() OVER (PARTITION BY event_type,
+                                         time_bucket(INTERVAL '1 minute', ts)
+                            ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def dedup_minute_first(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "window_start", F.window("ts", "1 minute")["start"]
+    )
+    out = validation.dedup_timestamps(
+        ev, ts_col="window_start", keep="first", keys=("event_type",),
+        order_col="event_id",
+    )
+    return out.select("event_type", "window_start", "event_id", "value")
+
+
+@register(
+    "dedup_minute_avg",
+    """
+SELECT event_type, window_start, event_id, value FROM (
+  SELECT event_type, time_bucket(INTERVAL '1 minute', ts) AS window_start,
+         event_id,
+         round(round(sum(value) OVER (PARTITION BY event_type,
+                                time_bucket(INTERVAL '1 minute', ts)) + 1e-9, 4)
+               / count(*) OVER (PARTITION BY event_type,
+                                time_bucket(INTERVAL '1 minute', ts)) + 1e-9, 4) AS value,
+         row_number() OVER (PARTITION BY event_type,
+                                         time_bucket(INTERVAL '1 minute', ts)
+                            ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def dedup_minute_avg(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "window_start", F.window("ts", "1 minute")["start"]
+    )
+    out = validation.dedup_timestamps(
+        ev, ts_col="window_start", keep="average", value_cols=("value",),
+        keys=("event_type",), order_col="event_id",
+    )
+    return out.select("event_type", "window_start", "event_id",
+                      _r4("value").alias("value"))
+
+
+@register(
+    "topk_per_type",
+    """
+SELECT event_type, event_id, value, rk FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+) WHERE rk <= 10
+""",
+)
+def topk_per_type(spark, sf_dir):
+    """pyod argmaxn / top-n outlier scores (SURVEY.md §2.6)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("event_type", "event_id", "value", "rk")
+    )
+
+
+@register(
+    "contamination_threshold",
+    """
+WITH th AS (
+  SELECT event_type, quantile_cont(value, 0.9) AS t
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       round(any_value(t) + 1e-9, 4) AS threshold,
+       sum(CASE WHEN e.value > t THEN 1 ELSE 0 END) AS n_anomalies
+FROM events e JOIN th ON e.event_type = th.event_type
+GROUP BY 1
+""",
+)
+def contamination_threshold(spark, sf_dir):
+    """threshold = percentile(scores, 1-contamination); label = score > t
+    (CollectiveBase.py:329-345, contamination=0.1)."""
+    ev = _events(spark, sf_dir)
+    th = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.9)).alias("t")
+    )
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .groupBy("event_type")
+        .agg(
+            _r4(F.first("t")).alias("threshold"),
+            F.sum(F.when(F.col("value") > F.col("t"), 1).otherwise(0)).alias(
+                "n_anomalies"
+            ),
+        )
+    )
+
+
+@register(
+    "system_wise_scores",
+    """
+SELECT event_type,
+       round(max(abs(value)) + 1e-9, 4) AS max_abs_score,
+       round(round(sum(abs(value)) + 1e-9, 4) / count(*) + 1e-9, 4) AS avg_abs_score
+FROM events GROUP BY 1
+""",
+)
+def system_wise_scores(spark, sf_dir):
+    """SystemWiseDetection max/avg reductions (SystemWiseDetection.py:311-341);
+    event_type plays system_id."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            _r4(F.max(F.abs("value"))).alias("max_abs_score"),
+            _r4(F.avg(F.abs("value"))).alias("avg_abs_score"),
+        )
+    )
+
+
+@register(
+    "ensemble_binarize",
+    """
+SELECT event_id,
+       round(greatest(value / 100.0, value * value / 10000.0) + 1e-9, 4) AS ens_max,
+       round(least(value / 100.0, value * value / 10000.0) + 1e-9, 4) AS ens_min,
+       CASE WHEN greatest(value / 100.0, value * value / 10000.0) > 0.05
+            THEN 1 ELSE 0 END AS label
+FROM events
+""",
+)
+def ensemble_binarize(spark, sf_dir):
+    """Ensemble max/min/binarize-at-0.05 (Ensemble.py:115,190-208)."""
+    ev = _events(spark, sf_dir)
+    s1 = F.col("value") / 100.0
+    s2 = F.col("value") * F.col("value") / 10000.0
+    return ev.select(
+        "event_id",
+        _r4(F.greatest(s1, s2)).alias("ens_max"),
+        _r4(F.least(s1, s2)).alias("ens_min"),
+        F.when(F.greatest(s1, s2) > 0.05, 1).otherwise(0).alias("label"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D. gap-fill (ContinuityValidation.py:139-164)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_linear",
+    f"""
+WITH {_SERIES_SQL},
+m AS (
+  SELECT event_type, epoch(window_start) / 60 AS t, v,
+         lead(epoch(window_start) / 60) OVER win AS t2,
+         lead(v) OVER win AS v2
+  FROM series
+  WINDOW win AS (PARTITION BY event_type ORDER BY window_start)
+),
+e AS (
+  SELECT event_type, t, v, t2, v2,
+         coalesce(CAST(round(t2 - t) AS BIGINT), 1) AS blank
+  FROM m
+)
+SELECT event_type,
+       CAST(t + j AS BIGINT) AS minute_epoch,
+       round(CASE WHEN j = 0 THEN v ELSE v + (v2 - v) / blank * j END + 1e-9, 4) AS v
+FROM e, LATERAL (SELECT unnest(range(greatest(blank, 1))) AS j)
+""",
+)
+def gap_fill_linear(spark, sf_dir):
+    """Row-level continuity imputation over the per-type 1-minute series:
+    missing minutes inserted with linear interpolation (F4 semantics)."""
+    s = _series(spark, sf_dir).withColumn(
+        "minute_epoch", (_epoch("window_start") / 60).cast("double")
+    )
+    out = gapfill.continuity_impute(
+        s.select("event_type", "minute_epoch", "v"),
+        ts_col="minute_epoch",
+        value_cols=("v",),
+        label_col=None,
+        interval=1.0,
+        keys=("event_type",),
+    )
+    return out.select(
+        "event_type",
+        F.col("minute_epoch").cast("long").alias("minute_epoch"),
+        _r4("v").alias("v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E. joins (Denormalize.py:53-63; ConstructPredictions.py:139-147) + TPC-H-ish
+# --------------------------------------------------------------------------
+
+
+@register(
+    "denormalize_revenue",
+    """
+SELECT r.r_name AS region,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+""",
+)
+def denormalize_revenue(spark, sf_dir):
+    """DenormalizePrimitive: FK-flatten the star schema then aggregate —
+    dims broadcast (Catalyst picks BHJ under the 64MB threshold)."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+       round(sum(l_extendedprice) + 1e-9, 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
+       round(round(sum(l_quantity) + 1e-9, 2) / count(*) + 1e-9, 4) AS avg_qty,
+       round(round(sum(l_extendedprice) + 1e-9, 2) / count(*) + 1e-9, 4) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        l.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            _r4(F.avg("l_quantity")).alias("avg_qty"),
+            _r4(F.avg("l_extendedprice")).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "construct_predictions",
+    """
+SELECT e.event_id AS d3mIndex,
+       CASE WHEN e.value > 10 THEN 1 ELSE 0 END AS prediction,
+       round(e.value / 100.0 + 1e-9, 4) AS confidence
+FROM events e
+JOIN (SELECT event_id FROM events WHERE event_type <> 'error') ref
+  ON e.event_id = ref.event_id
+""",
+)
+def construct_predictions(spark, sf_dir):
+    """ConstructPredictions: align predictions to the reference frame by
+    index equi-join (ConstructPredictions.py:139-147)."""
+    ev = _events(spark, sf_dir)
+    preds = ev.select(
+        F.col("event_id"),
+        F.when(F.col("value") > 10, 1).otherwise(0).alias("prediction"),
+        _r4(F.col("value") / 100.0).alias("confidence"),
+    )
+    ref = ev.filter(F.col("event_type") != "error").select("event_id")
+    return preds.join(ref, "event_id").select(
+        F.col("event_id").alias("d3mIndex"), "prediction", "confidence"
+    )
+
+
+# --------------------------------------------------------------------------
+# F. splits (KFoldSplitTimeseries.py:82,167-169 — sklearn TimeSeriesSplit)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_split_5fold",
+    """
+WITH o AS (
+  SELECT event_id, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM events
+)
+SELECT f.fold,
+       sum(CASE WHEN rn < (f.fold + 1) * (n // 6) THEN 1 ELSE 0 END) AS n_train,
+       sum(CASE WHEN rn >= (f.fold + 1) * (n // 6)
+                 AND rn < (f.fold + 2) * (n // 6) THEN 1 ELSE 0 END) AS n_test
+FROM o, (SELECT unnest(range(5)) AS fold) f
+GROUP BY 1
+""",
+)
+def timeseries_split_5fold(spark, sf_dir):
+    """TimeSeriesSplit fold sizes: fold i trains on the first (i+1)·n/(k+1)
+    time-ordered rows, tests on the next n/(k+1)."""
+    ev = _events(spark, sf_dir)
+    w = Window.orderBy("ts", "event_id")
+    o = ev.select((F.row_number().over(w) - 1).alias("rn")).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    folds = spark.range(5).select(F.col("id").cast("int").alias("fold"))
+    chunk = (F.col("n") / 6).cast("long")
+    return (
+        o.crossJoin(F.broadcast(folds))
+        .groupBy("fold")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") < (F.col("fold") + 1) * chunk, 1).otherwise(0)
+            ).alias("n_train"),
+            F.sum(
+                F.when(
+                    (F.col("rn") >= (F.col("fold") + 1) * chunk)
+                    & (F.col("rn") < (F.col("fold") + 2) * chunk),
+                    1,
+                ).otherwise(0)
+            ).alias("n_test"),
+        )
+    )
