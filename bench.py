@@ -1,0 +1,112 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "rollup_points_per_sec": ...}
+
+Headline = the token-table rollup cascade (the north-star pipeline:
+synth scan → dedup → raw→1m→1h→1d with quantile digests → tumbling gap-fill
+→ Gorilla pack), plus representative driver-table queries (rollup, window
+stats, gap-fill, joins).
+
+The token table is synthesized deterministically (tods_spark.datagen,
+seed 42) at a size proportional to the sf directory's lineitem scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tods_spark.datagen import token_table  # noqa: E402
+from tods_spark.operators import compression, gapfill  # noqa: E402
+from tods_spark.operators.rollup import AGG_COLS, full_cascade  # noqa: E402
+from tods_spark.queries import QUERIES  # noqa: E402
+from tods_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "rollup_1m",
+    "rollup_1d_cascade",
+    "stat_mean_w5",
+    "moving_average_w3",
+    "gap_fill_linear",
+    "dedup_minute_avg",
+    "denormalize_revenue",
+    "q1_pricing_summary",
+]
+
+# docs per sf unit: sf0.1 → 400k docs (~100M tokens), sf0.01 → 40k
+DOCS_PER_SF = 4_000_000
+
+
+def run_token_cascade(spark, n_docs: int) -> tuple[float, int]:
+    """The flagship pipeline; returns (seconds, rollup points produced)."""
+    t0 = time.time()
+    raw = token_table(spark, n_docs)
+    tiers = full_cascade(raw, with_digest=True)
+    # materialize the 1m tier once; 1h/1d/gap-fill/pack all re-aggregate it
+    # (the cascade never re-reads raw — that's the point of the tier design)
+    tiers["1m"] = tiers["1m"].persist()
+    rows = {}
+    for tier, df in tiers.items():
+        rows[tier] = df.count()
+    # tumbling-window gap-fill on the 1m tier
+    filled = gapfill.gap_fill_tier(tiers["1m"], 60)
+    rows["1m_gapfilled"] = filled.count()
+    # Gorilla-pack the 1m tier per (source, day)
+    packed = compression.pack_tier(tiers["1m"], value_col="avg_n_tok")
+    rep = packed.agg(F.sum("n_points").alias("p")).collect()[0]
+    assert rep["p"] == rows["1m"]
+    sec = time.time() - t0
+    tiers["1m"].unpersist()
+    points = sum(rows[t] for t in ("1m", "1h", "1d")) * len(AGG_COLS)
+    return sec, points
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    n_docs = int(DOCS_PER_SF * sf)
+
+    spark = get_spark(app_name="tods_spark_bench", cores=cpus)
+    # warm the JVM/Arrow paths so timings measure the engine, not startup
+    spark.range(1000).agg(F.sum("id")).collect()
+
+    timings: dict[str, float] = {}
+    cascade_sec, points = run_token_cascade(spark, n_docs)
+    timings["token_cascade"] = round(cascade_sec, 3)
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        assert n > 0, name
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (token rollup cascade + driver-table queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "rollup_points": points,
+                "rollup_points_per_sec": round(points / cascade_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Checkpoint / lineage table + idempotent tier runner.
+
+North-star requirement: "every rollup stage writes per-partition lineage +
+row-count metrics to a checkpoint table so the job resumes idempotently
+mid-tier" (BASELINE.json). The reference has nothing comparable — its only
+persistence is whole-model pickles (tods/utils.py:432-537) and a full refit
+on restart; this is net-new engine design (SURVEY.md §4 "incremental /
+resumable execution: must DESIGN").
+
+Design:
+  * work is partitioned by a coarse PARTITION KEY (default: the day of the
+    tier window) — the unit of skip/recompute;
+  * the checkpoint table holds one JSON-lines record per (job_id, tier,
+    partition): rows_in, rows_out, fingerprint (xxhash64-xor of the output
+    rows — order-insensitive), status, wall seconds;
+  * `run_tier` lists partitions already 'done' for (job_id, tier), filters
+    them OUT of the input (partition pruning — the filter lands on the
+    parquet scan), computes the rest, writes results with dynamic partition
+    overwrite (idempotent), then marks them done;
+  * a crash between "write" and "mark" re-runs that partition; the
+    partition overwrite converges to the same bytes, so resume is exactly-
+    once in effect (at-least-once execution, idempotent apply).
+
+The checkpoint table itself is tiny (one row per partition per tier) and is
+stored as JSON lines appended atomically per run — on a cluster this becomes
+an Iceberg table with MERGE; the interface is the same.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tods_spark.sources.storage import PartitionedTable
+
+
+class CheckpointLog:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def records(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def done_partitions(self, job_id: str, tier: str) -> set[str]:
+        return {
+            r["partition"]
+            for r in self.records()
+            if r["job_id"] == job_id and r["tier"] == tier and r["status"] == "done"
+        }
+
+    def mark(self, **record) -> None:
+        record.setdefault("ts", time.time())
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+
+def _fingerprint(df: DataFrame) -> int:
+    """Order-insensitive 64-bit fingerprint of a DataFrame: xor-ish (sum mod
+    2^64) of per-row xxhash64 over all columns. One extra agg job, no
+    collect of data rows."""
+    row = df.select(
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+        ).alias("fp"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return int(int(row["fp"] or 0) & ((1 << 63) - 1)), int(row["n"])
+
+
+def run_tier(
+    spark: SparkSession,
+    input_df: DataFrame,
+    compute,  # (DataFrame) -> DataFrame : the tier transformation
+    out_table: PartitionedTable,
+    ckpt: CheckpointLog,
+    job_id: str,
+    tier: str,
+    in_ts_col: str = "ts",
+    out_ts_col: str = "window_start",
+    partition_col: str = "part_key",
+) -> dict:
+    """Run one rollup tier with per-partition lineage + resume.
+
+    The coarse partition key is the DAY of the event time — derived from
+    `in_ts_col` on the input and `out_ts_col` on the output (a tier never
+    maps an input day to a different output day for tiers ≤ 1d).
+    Returns {"computed": [...], "skipped": [...], "rows_out": n}.
+    """
+    in_expr = F.date_format(in_ts_col, "yyyy-MM-dd")
+    out_expr = F.date_format(out_ts_col, "yyyy-MM-dd")
+    inp = input_df.withColumn(partition_col, in_expr)
+
+    all_parts = [
+        r[partition_col]
+        for r in inp.select(partition_col).distinct().collect()
+    ]
+    done = ckpt.done_partitions(job_id, tier)
+    todo = sorted(p for p in all_parts if p not in done)
+    skipped = sorted(p for p in all_parts if p in done)
+
+    rows_out_total = 0
+    if todo:
+        run_id = uuid.uuid4().hex[:12]
+        # partition-pruned input: the IN filter pushes to the scan
+        pending = inp.filter(F.col(partition_col).isin(todo))
+        rows_in = pending.count()
+        t0 = time.time()
+        result = compute(pending.drop(partition_col)).withColumn(
+            partition_col, out_expr
+        )
+        result = result.cache()
+        fp, rows_out = _fingerprint(result)
+        out_table.overwrite_partitions(result)
+        wall = time.time() - t0
+        per_part = (
+            result.groupBy(partition_col).count().collect()
+        )
+        result.unpersist()
+        counts = {r[partition_col]: r["count"] for r in per_part}
+        for p in todo:
+            ckpt.mark(
+                job_id=job_id, tier=tier, partition=p, run_id=run_id,
+                rows_in=rows_in, rows_out=int(counts.get(p, 0)),
+                fingerprint=fp, status="done", wall_s=round(wall, 3),
+            )
+        rows_out_total = rows_out
+    return {"computed": todo, "skipped": skipped, "rows_out": rows_out_total}

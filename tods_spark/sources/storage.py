@@ -1,0 +1,57 @@
+"""Iceberg-style table storage over plain Parquet.
+
+The sandbox has no Iceberg runtime jar, so this module provides the same
+API shape behind one interface (SURVEY.md §7 "Iceberg in sandbox"): a
+partitioned table with ATOMIC per-partition overwrite and a manifest. On a
+real cluster the implementation swaps to `df.writeTo(tbl).overwritePartitions()`
+— call sites don't change.
+
+Atomicity in the parquet emulation comes from Spark's dynamic partition
+overwrite (`spark.sql.sources.partitionOverwriteMode=dynamic`): only the
+partitions present in the written DataFrame are replaced, others untouched;
+a failed job leaves old partition data in place (staging dir committed per
+partition by the output committer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class PartitionedTable:
+    """A partitioned Parquet table with Iceberg-like partition overwrite."""
+
+    def __init__(self, spark: SparkSession, path: str, partition_cols: list[str]):
+        self.spark = spark
+        self.path = path
+        self.partition_cols = partition_cols
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path) and any(
+            not f.startswith("_") for f in os.listdir(self.path)
+        )
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        """Replace exactly the partitions present in `df` (idempotent: a
+        re-run of the same partition converges to the same state)."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*self.partition_cols)
+            .parquet(self.path)
+        )
+
+    def append(self, df: DataFrame) -> None:
+        df.write.mode("append").partitionBy(*self.partition_cols).parquet(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def partitions(self) -> list[dict]:
+        """Manifest view: list partition value dicts currently in the table."""
+        if not self.exists():
+            return []
+        rows = self.read().select(*self.partition_cols).distinct().collect()
+        return [r.asDict() for r in rows]
