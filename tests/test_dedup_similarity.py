@@ -1,0 +1,170 @@
+"""Dedup family + similarity search: planted duplicates/near-duplicates,
+LSH recall vs brute force, SimHash Hamming properties, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tods_spark.operators import dedup as DD
+from tods_spark.operators import multimodal as MM
+from tods_spark.operators import similarity as SIM
+from tods_spark.operators import text as TX
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def _corpus(n=60, seed=3):
+    """Random docs + planted exact dup + planted near-dup (one word changed)."""
+    rng = np.random.default_rng(seed)
+    docs = [" ".join(rng.choice(WORDS, 40)) for _ in range(n)]
+    docs.append(docs[0])  # exact dup of doc 0 -> id n
+    near = docs[1].split()
+    near[20] = "CHANGED"
+    docs.append(" ".join(near))  # near-dup of doc 1 -> id n+1
+    return pd.DataFrame({"doc_id": [f"d{i:03d}" for i in range(len(docs))],
+                         "text": docs})
+
+
+def test_exact_dup_groups(spark):
+    pdf = _corpus()
+    out = DD.exact_dup_groups(spark.createDataFrame(pdf)).toPandas()
+    dups = out[out.n_dups > 1]
+    assert len(dups) == 1 and dups.iloc[0]["n_dups"] == 2
+    assert dups.iloc[0]["keeper"] == "d000"
+
+
+def _py_jaccard(a: str, b: str, n=3):
+    def sh(t):
+        w = t.split()
+        m = max(len(w) - n, 0)
+        return {" ".join(w[i : i + n]) for i in range(m + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_matches_python(spark):
+    pdf = _corpus(n=25)
+    out = DD.ngram_jaccard_pairs(
+        spark.createDataFrame(pdf), threshold=0.0
+    ).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+    texts = dict(zip(pdf.doc_id, pdf.text))
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            expect = _py_jaccard(texts[a], texts[b])
+            if expect > 0:
+                assert (a, b) in got
+                assert abs(got[(a, b)] - expect) < 1e-3, (a, b)
+    # the planted near-dup pair has very high jaccard
+    near = out[(out.id_a == "d001") & (out.id_b == "d026")]
+    assert len(near) == 1 and near.iloc[0]["jaccard"] > 0.8
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    pdf = _corpus()
+    n = len(pdf) - 2
+    cand = DD.minhash_lsh_candidates(
+        spark.createDataFrame(pdf), k=32, bands=16
+    ).toPandas()
+    pairs = set(zip(cand.id_a, cand.id_b))
+    assert ("d000", f"d{n:03d}") in pairs        # exact dup always collides
+    assert ("d001", f"d{n+1:03d}") in pairs      # near-dup (jaccard ~0.92)
+    # LSH prunes: far fewer candidates than the ~1.9k total pairs
+    assert len(pairs) < 200
+
+
+def test_simhash_properties(spark):
+    pdf = _corpus()
+    n = len(pdf) - 2
+    sig = DD.simhash64(spark.createDataFrame(pdf)).toPandas()
+    s = dict(zip(sig.id, sig.simhash))
+    assert s["d000"] == s[f"d{n:03d}"]  # identical text -> identical simhash
+    ham_near = bin(s["d001"] ^ s[f"d{n+1:03d}"]).count("1")
+    rng_pairs = [bin(s["d002"] ^ s["d003"]).count("1"),
+                 bin(s["d004"] ^ s["d005"]).count("1")]
+    assert ham_near < min(rng_pairs)  # near-dup closer than random pairs
+    near = DD.simhash_near_pairs(
+        spark.createDataFrame(pdf), max_hamming=max(ham_near, 1)
+    ).toPandas()
+    pairs = set(zip(near.id_a, near.id_b))
+    assert ("d000", f"d{n:03d}") in pairs
+    assert ("d001", f"d{n+1:03d}") in pairs
+
+
+def _emb_frame(n=300, dim=32, seed=11):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant a near-duplicate of vector 0
+    M[n - 1] = M[0] + rng.standard_normal(dim).astype(np.float32) * 0.05
+    return pd.DataFrame({"vec_id": range(n), "embedding": list(M)}), M
+
+
+def test_cosine_topk_bruteforce_matches_numpy(spark):
+    pdf, M = _emb_frame()
+    q = M[0].astype(float)
+    df = spark.createDataFrame(pdf)
+    got = SIM.cosine_topk_bruteforce(df, list(q), k=5).toPandas()
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = np.argsort(-cos)[:5]
+    assert list(got["vec_id"]) == list(order)
+    np.testing.assert_allclose(got["cosine"], np.round(cos[order] + 1e-9, 4),
+                               atol=2e-4)
+
+
+def test_ann_lsh_recall(spark):
+    pdf, M = _emb_frame()
+    q = M[0].astype(float)
+    df = spark.createDataFrame(pdf)
+    exact = set(
+        SIM.cosine_topk_bruteforce(df, list(q), k=5).toPandas()["vec_id"]
+    )
+    approx = SIM.ann_topk_lsh(df, list(q), k=5, n_planes=8, probes=3).toPandas()
+    # multi-probe LSH must at least find the query itself and its planted dup
+    got = set(approx["vec_id"])
+    assert 0 in got and (len(M) - 1) in got
+    assert len(got & exact) >= 3  # decent recall on 300 vectors
+
+
+def test_cosine_near_pairs_finds_planted(spark):
+    pdf, M = _emb_frame()
+    df = spark.createDataFrame(pdf)
+    pairs = SIM.cosine_near_pairs(df, threshold=0.9, n_planes=6).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == len(M) - 1)).any()
+
+
+def test_multimodal_plumbing(spark):
+    pdf = _corpus(n=10)
+    pdf["doc_id"] = range(len(pdf))
+    media = MM.attach_fake_media(spark.createDataFrame(pdf))
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = MM.extract_features(media, n_features=16).toPandas()
+    assert len(feats) == len(pdf)
+    assert all(len(f) == 16 for f in feats["features"])
+    # deterministic: same payload -> same features
+    f2 = MM.extract_features(media, n_features=16).toPandas()
+    a = np.vstack(feats.sort_values("doc_id")["features"])
+    b = np.vstack(f2.sort_values("doc_id")["features"])
+    np.testing.assert_array_equal(a, b)
+    # strict decode is an explicit stub
+    with pytest.raises(Exception):
+        MM.extract_features(media, strict_decode=True).collect()
+
+
+def test_lang_id_markers(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat and the dog is of note to all",
+                "le chat et la mer les vagues des champs",
+                "xyzzy plugh quux",
+            ],
+        }
+    )
+    out = TX.lang_id(spark.createDataFrame(pdf)).orderBy("doc_id").toPandas()
+    assert list(out["lang_guess"]) == ["en", "fr", "und"]

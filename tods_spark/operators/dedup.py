@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup (driver mandate).
+
+No reference analogue beyond timestamp dedup (DuplicationValidation.py:73-87,
+covered in operators/validation.py) — these are the web-scale text variants,
+designed Spark-first:
+
+  * exact        — md5 grouping (one shuffle on the hash, map-side combine)
+  * n-gram Jaccard — shingle explode → self-equi-join on shingle → per-pair
+                   intersection count vs union (candidate generation IS the
+                   join; no n² scan)
+  * MinHash+LSH  — k permutation-hash minima per doc (one explode + groupBy),
+                   signatures cut into b bands; an equi-join on
+                   (band, band-hash) yields candidates; verified by exact
+                   Jaccard. At 10^12 docs the band join is the only shuffle
+                   and AQE handles hot buckets.
+  * SimHash      — 64-bit weighted-bit-vote signature via one Arrow UDF over
+                   word-hash arrays (numpy bit ops, no per-row Python);
+                   near-dups = signatures at Hamming distance ≤ r, found by
+                   pigeonhole band join (r+1 chunks).
+  * embedding cosine near-dup — see operators/similarity.py (cosine_pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from tods_spark.operators.text import words
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                     col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the keeper
+    (min id) and the duplicate count."""
+    return (
+        df.groupBy(F.md5(col).alias("fp_md5"))
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id", col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """(id, shingle) rows — DISTINCT word n-grams per doc."""
+    w = words(col)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Candidate pairs that share ≥1 shingle, with exact Jaccard similarity.
+    The shingle self-join generates candidates; sizes come from a broadcast
+    per-doc shingle-count dim."""
+    sh = shingle_table(df, id_col, col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                + F.lit(1e-9),
+                4,
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text",
+    n: int = 3, k: int = 32,
+) -> DataFrame:
+    """k-coordinate MinHash: coordinate i = min over shingles of
+    xxhash64(shingle, seed=i). One explode + one groupBy (k mins computed
+    map-side — no k-fold blowup)."""
+    sh = shingle_table(df, id_col, col, n)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(k)]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text",
+    n: int = 3, k: int = 32, bands: int = 8,
+) -> DataFrame:
+    """LSH banding: signature → b bands of k/b rows; docs colliding on any
+    (band, band-hash) become candidate pairs (dedup'd)."""
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, id_col, col, n, k)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a, b2 = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    """64-bit SimHash: each word's xxhash64 votes ±1 per bit position;
+    signature bit = sign of the vote sum. Word hashes computed JVM-side;
+    the bit-vote reduction is one vectorized numpy kernel per Arrow batch."""
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(words(col), lambda w: F.xxhash64(w)).alias("hashes"),
+    )
+
+    @F.pandas_udf("long")
+    def _simhash(hs: pd.Series) -> pd.Series:
+        def one(arr):
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                return 0
+            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                                 bitorder="little")
+            votes = bits.sum(axis=0) * 2 - h.size  # (+1/-1 votes summed)
+            sig = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
+            return int(np.frombuffer(sig.tobytes(), np.uint64)[0].view(np.int64))
+
+        return hs.map(one)
+
+    return hashed.select("id", _simhash("hashes").alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Pigeonhole LSH over SimHash: split 64 bits into max_hamming+1 chunks;
+    any pair within the Hamming radius collides on ≥1 chunk. Equi-join on
+    (chunk_idx, chunk_bits), then exact Hamming verify via bit_count."""
+    sig = simhash64(df, id_col, col)
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    banded = sig.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                % F.lit(1 << width)
+                for i in range(chunks)
+            ])
+        ).alias("chunk", "bits"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

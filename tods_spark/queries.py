@@ -727,3 +727,285 @@ def timeseries_split_5fold(spark, sf_dir):
             ).alias("n_test"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# G. text analysis (training-data pipeline ops — no TODS analogue; driver
+#    mandate). All pure Catalyst expressions; oracles replicate the exact
+#    arithmetic in DuckDB SQL.
+# --------------------------------------------------------------------------
+
+from tods_spark.operators import dedup as DD  # noqa: E402
+from tods_spark.operators import multimodal as MM  # noqa: E402
+from tods_spark.operators import similarity as SIM  # noqa: E402
+from tods_spark.operators import text as TX  # noqa: E402
+
+_W_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+@register(
+    "doc_token_count",
+    rf"""
+SELECT doc_id,
+       len({_W_SQL}) AS n_words,
+       CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS INT)
+         AS n_subword_est
+FROM documents
+""",
+)
+def doc_token_count(spark, sf_dir):
+    return TX.token_count(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "n_subword_est"
+    )
+
+
+@register(
+    "doc_quality",
+    rf"""
+WITH base AS (
+  SELECT doc_id, text, {_W_SQL} AS w,
+         length(regexp_replace(text, '\s+', '', 'g')) AS nsp,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS nalpha
+  FROM documents
+)
+SELECT doc_id,
+       len(w) AS n_words,
+       round(len(list_distinct(w)) / len(w) + 1e-9, 4) AS ttr,
+       round(nsp / len(w) + 1e-9, 4) AS mean_word_len,
+       round(nalpha / greatest(length(text), 1) + 1e-9, 4) AS alpha_ratio,
+       round(least(len(w) / 100.0, 1.0) * 0.4
+             + (len(list_distinct(w)) / len(w)) * 0.3
+             + (nalpha / greatest(length(text), 1)) * 0.3 + 1e-9, 4) AS quality
+FROM base
+""",
+)
+def doc_quality(spark, sf_dir):
+    return TX.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "ttr", "mean_word_len", "alpha_ratio", "quality"
+    )
+
+
+@register(
+    "doc_lang_guess",
+    rf"""
+WITH base AS (
+  SELECT doc_id, list_distinct({_W_SQL}) AS w FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CAST(list_contains(w,'the') AS INT)+CAST(list_contains(w,'and') AS INT)
+      +CAST(list_contains(w,'of') AS INT)+CAST(list_contains(w,'to') AS INT)
+      +CAST(list_contains(w,'is') AS INT) AS score_en,
+    CAST(list_contains(w,'le') AS INT)+CAST(list_contains(w,'la') AS INT)
+      +CAST(list_contains(w,'et') AS INT)+CAST(list_contains(w,'les') AS INT)
+      +CAST(list_contains(w,'des') AS INT) AS score_fr,
+    CAST(list_contains(w,'der') AS INT)+CAST(list_contains(w,'die') AS INT)
+      +CAST(list_contains(w,'und') AS INT)+CAST(list_contains(w,'das') AS INT)
+      +CAST(list_contains(w,'ist') AS INT) AS score_de,
+    CAST(list_contains(w,'el') AS INT)+CAST(list_contains(w,'los') AS INT)
+      +CAST(list_contains(w,'que') AS INT)+CAST(list_contains(w,'una') AS INT)
+      +CAST(list_contains(w,'por') AS INT) AS score_es
+  FROM base
+)
+SELECT doc_id, score_en, score_fr, score_de, score_es,
+       CASE WHEN greatest(score_en,score_fr,score_de,score_es) = 0 THEN 'und'
+            WHEN score_en = greatest(score_en,score_fr,score_de,score_es) THEN 'en'
+            WHEN score_fr = greatest(score_en,score_fr,score_de,score_es) THEN 'fr'
+            WHEN score_de = greatest(score_en,score_fr,score_de,score_es) THEN 'de'
+            ELSE 'es' END AS lang_guess
+FROM s
+""",
+)
+def doc_lang_guess(spark, sf_dir):
+    return TX.lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "score_en", "score_fr", "score_de", "score_es", "lang_guess"
+    )
+
+
+@register(
+    "doc_fingerprint",
+    rf"""
+WITH base AS (SELECT doc_id, text, {_W_SQL} AS w FROM documents)
+SELECT doc_id, md5(text) AS fp_md5,
+       list_min(list_transform(range(greatest(len(w)-3, 0) + 1),
+                i -> md5(array_to_string(list_slice(w, i+1, i+3), ' '))))
+         AS fp_min_shingle
+FROM base
+""",
+)
+def doc_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "fp_md5", "fp_min_shingle"
+    )
+
+
+# --------------------------------------------------------------------------
+# H. dedup family (exact, n-gram Jaccard oracle-checked; MinHash-LSH and
+#    SimHash rows-only — their hash primitives are engine-specific, so the
+#    correctness evidence is the pytest suite with planted near-duplicates)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    """
+SELECT md5(text) AS fp_md5, min(doc_id) AS keeper, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_groups(spark, sf_dir):
+    return DD.exact_dup_groups(_docs(spark, sf_dir))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    rf"""
+WITH docs_w AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(range(greatest(len(w)-3, 0) + 1),
+                i -> array_to_string(list_slice(w, i+1, i+3), ' ')))) AS shingle
+  FROM docs_w
+),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       round(inter / (sa.sz + sb.sz - inter) + 1e-9, 4) AS jaccard
+FROM inter
+JOIN sz sa ON id_a = sa.id
+JOIN sz sb ON id_b = sb.id
+WHERE inter / (sa.sz + sb.sz - inter) + 1e-9 >= 0.02
+""",
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.02)
+
+
+@register("minhash_lsh_candidates")  # rows-only: xxhash64 is Spark-specific
+def minhash_lsh_candidates_q(spark, sf_dir):
+    return DD.minhash_lsh_candidates(_docs(spark, sf_dir), k=16, bands=8)
+
+
+@register("simhash_near_pairs")  # rows-only: xxhash64 is Spark-specific
+def simhash_near_pairs_q(spark, sf_dir):
+    return DD.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16)
+
+
+# --------------------------------------------------------------------------
+# I. similarity search over embeddings
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_top5",
+    """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+z AS (
+  SELECT vec_id, unnest(embedding) AS x, unnest((SELECT e FROM q)) AS y
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+         sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+  FROM z GROUP BY 1
+),
+r AS (
+  SELECT vec_id, round(dot / (na * nb) + 1e-9, 4) AS cosine,
+         row_number() OVER (ORDER BY round(dot / (na * nb) + 1e-9, 4) DESC,
+                            vec_id) AS rk
+  FROM s
+)
+SELECT vec_id, cosine, rk FROM r WHERE rk <= 5
+""",
+)
+def ann_cosine_top5(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = SIM.cosine_topk_bruteforce(emb, qvec, k=5)
+    # rank on the ROUNDED cosine so both engines break near-ties identically
+    w = Window.orderBy(F.desc("cosine"), "vec_id")
+    return (
+        out.drop("rk").withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@register("ann_topk_lsh")  # rows-only: hyperplane RNG is engine-side
+def ann_topk_lsh_q(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.ann_topk_lsh(emb, qvec, k=5, n_planes=10)
+
+
+@register("embedding_cosine_near_pairs")  # rows-only (LSH buckets)
+def embedding_cosine_near_pairs_q(spark, sf_dir):
+    return SIM.cosine_near_pairs(_emb(spark, sf_dir), threshold=0.3, n_planes=4)
+
+
+@register(
+    "embedding_position_stats",
+    """
+SELECT label, i - 1 AS pos, count(*) AS cnt,
+       round(sum(CAST(x AS DOUBLE)) + 1e-9, 4) AS sum_v,
+       round(round(sum(CAST(x AS DOUBLE)) + 1e-9, 4) / count(*) + 1e-9, 4) AS avg_v,
+       round(min(CAST(x AS DOUBLE)) + 1e-9, 4) AS min_v,
+       round(max(CAST(x AS DOUBLE)) + 1e-9, 4) AS max_v
+FROM (
+  SELECT label, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+)
+GROUP BY 1, 2
+""",
+)
+def embedding_position_stats(spark, sf_dir):
+    """Per-position stats over an array column — the posexplode/SQL variant
+    of operators/tokens.position_stats (the explode-free scale path is
+    pytest-verified against this)."""
+    ex = _emb(spark, sf_dir).select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    x = F.col("x").cast("double")
+    return ex.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _r4(F.sum(x)).alias("sum_v"),
+        _r4(_r4(F.sum(x)) / F.count(F.lit(1))).alias("avg_v"),
+        _r4(F.min(x)).alias("min_v"),
+        _r4(F.max(x)).alias("max_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J. multimodal binary plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "media_metadata",
+    """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       length(text) % 640 + 32 AS width,
+       length(text) % 480 + 32 AS height
+FROM documents
+""",
+)
+def media_metadata(spark, sf_dir):
+    m = MM.attach_fake_media(_docs(spark, sf_dir))
+    return m.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@register("media_features")  # rows-only: decode stub is engine-side
+def media_features(spark, sf_dir):
+    m = MM.attach_fake_media(_docs(spark, sf_dir))
+    return MM.extract_features(m, n_features=16)
