@@ -122,26 +122,43 @@ def cosine_near_pairs(
     df: DataFrame,
     threshold: float = 0.9,
     n_planes: int = 8,
+    bands: int = 2,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join:
-    only same-bucket pairs are scored (candidate shuffle is |docs|, the
-    pair blowup stays inside buckets)."""
+    """Embedding-cosine near-duplicate pairs via BANDED LSH self-join: the
+    signature splits into `bands` independent bands; a pair is a candidate
+    if ANY band collides (recall amplification — a truly-close pair only
+    misses if every band is split by a boundary plane). Candidate shuffle is
+    |docs|·bands rows; the pair blowup stays inside buckets."""
+    assert n_planes % bands == 0
+    width = n_planes // bands
     dim = len(df.select(vec_col).first()[0])
     sigs = lsh_signatures(df, dim, n_planes, seed, id_col, vec_col)
-    a, b = sigs.alias("a"), sigs.alias("b")
+    banded = sigs.select(
+        id_col,
+        vec_col,
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("bucket"), i * width)
+                % F.lit(1 << width)
+                for i in range(bands)
+            ])
+        ).alias("band", "bits"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.bucket") == F.col("b.bucket"))
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bits") == F.col("b.bits"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
         F.col(f"a.{vec_col}").alias("va"),
         F.col(f"b.{vec_col}").alias("vb"),
-    )
+    ).dropDuplicates(["id_a", "id_b"])
     scored = pairs.withColumn(
         "cosine",
         F.round(

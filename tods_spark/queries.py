@@ -945,7 +945,7 @@ def ann_topk_lsh_q(spark, sf_dir):
 
 @register("embedding_cosine_near_pairs")  # rows-only (LSH buckets)
 def embedding_cosine_near_pairs_q(spark, sf_dir):
-    return SIM.cosine_near_pairs(_emb(spark, sf_dir), threshold=0.3, n_planes=4)
+    return SIM.cosine_near_pairs(_emb(spark, sf_dir), threshold=0.3, n_planes=8, bands=2)
 
 
 @register(
