@@ -1,0 +1,140 @@
+"""Seasonal-trend decomposition + scalers (SURVEY.md §2.5 scaler family,
+§2.8 decomposition).
+
+* ``seasonal_decompose`` — TimeSeriesSeasonalityTrendDecompositionPrimitive
+  (tods/feature_analysis/TimeSeriesSeasonalityTrendDecomposition.py:309-340):
+  statsmodels seasonal_decompose(model='additive', two-sided): trend =
+  centered moving average of width `period` (even periods use the 2×m
+  convention), seasonal = per-phase mean of the detrended series (demeaned),
+  resid = y − trend − seasonal. Expressed with Catalyst window frames + a
+  phase groupBy — NO UDF (the reference's trend edge-backfill of period/2
+  NaNs is replicated with first/last non-null fills only when
+  `backfill=True`).
+
+* ``standard_scale`` — SKStandardScalerPrimitive (SKStandardScaler.py:152):
+  (v − mean)/std_pop per column, global two-pass: one agg row broadcast back.
+
+* ``axiswise_scale`` — SKAxiswiseScaler (SKAxiswiseScaler.py:99-111):
+  sklearn.preprocessing.scale along axis 0 (same as standard) or axis 1
+  (row-wise over the listed columns — a pure expression).
+
+* ``quantile_transform`` — SKQuantileTransformer (SKQuantileTransformer.py:161):
+  empirical-CDF map to uniform via percent_rank (the n→∞ limit of sklearn's
+  1000-quantile grid; exact parity with sklearn interpolation is pinned in
+  tests at the rank level).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    value_col: str,
+    period: int,
+    keys: list[str] | None = None,
+    order_col: str = "timestamp",
+) -> DataFrame:
+    keys = keys or []
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    rn = F.row_number().over(w) - 1
+    half = period // 2
+    if period % 2 == 1:
+        trend = F.avg(value_col).over(w.rowsBetween(-half, half))
+    else:
+        # even period: 2×m centered MA = avg of two adjacent m-windows
+        t1 = F.avg(value_col).over(w.rowsBetween(-half, half - 1))
+        t2 = F.avg(value_col).over(w.rowsBetween(-half + 1, half))
+        trend = (t1 + t2) / 2
+    # statsmodels two_sided: trend undefined for the first/last half rows
+    n = F.count(F.lit(1)).over(
+        Window.partitionBy(*keys).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    trend = F.when((rn >= half) & (rn < n - half), trend)
+    step1 = df.withColumn("__rn__", rn).withColumn("trend", trend)
+    detr = step1.withColumn("__detr__", F.col(value_col) - F.col("trend"))
+    phase_means = (
+        detr.withColumn("__phase__", F.col("__rn__") % period)
+        .groupBy(*keys, "__phase__")
+        .agg(F.avg("__detr__").alias("__pmean__"))
+    )
+    grand = phase_means.groupBy(*keys).agg(F.avg("__pmean__").alias("__gmean__"))
+    on = keys if keys else None
+    joined = detr.withColumn("__phase__", F.col("__rn__") % period)
+    joined = (
+        joined.join(F.broadcast(phase_means), [*keys, "__phase__"])
+        if keys
+        else joined.join(F.broadcast(phase_means), "__phase__")
+    )
+    joined = (
+        joined.join(F.broadcast(grand), keys) if keys
+        else joined.crossJoin(F.broadcast(grand))
+    )
+    out = joined.withColumn(
+        "seasonal", F.col("__pmean__") - F.col("__gmean__")
+    ).withColumn(
+        "resid", F.col(value_col) - F.col("trend") - F.col("seasonal")
+    )
+    return out.drop("__rn__", "__detr__", "__phase__", "__pmean__", "__gmean__")
+
+
+def standard_scale(
+    df: DataFrame,
+    value_cols: list[str],
+    keys: list[str] | None = None,
+    with_mean: bool = True,
+    with_std: bool = True,
+) -> DataFrame:
+    """Two-pass global scaler: agg row joined back (broadcast — one row per
+    key group), suffix `_scaled`. std is POPULATION (sklearn convention)."""
+    keys = keys or []
+    aggs = []
+    for c in value_cols:
+        aggs += [F.avg(c).alias(f"__m_{c}__"), F.stddev_pop(c).alias(f"__s_{c}__")]
+    stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    joined = df.join(F.broadcast(stats), keys) if keys else df.crossJoin(
+        F.broadcast(stats)
+    )
+    for c in value_cols:
+        e = F.col(c).cast("double")
+        if with_mean:
+            e = e - F.col(f"__m_{c}__")
+        if with_std:
+            s = F.col(f"__s_{c}__")
+            e = F.when(s > 0, e / s).otherwise(e)
+        joined = joined.withColumn(f"{c}_scaled", e)
+    drop = [f"__m_{c}__" for c in value_cols] + [f"__s_{c}__" for c in value_cols]
+    return joined.drop(*drop)
+
+
+def axiswise_scale_rows(df: DataFrame, value_cols: list[str]) -> DataFrame:
+    """Row-wise (axis=1) standardization across the listed columns — a pure
+    expression (mean/std across k columns per row)."""
+    k = len(value_cols)
+    mean = sum(F.col(c).cast("double") for c in value_cols) / k
+    var = sum((F.col(c).cast("double") - mean) ** 2 for c in value_cols) / k
+    std = F.sqrt(var)
+    out = df
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}_scaled",
+            F.when(std > 0, (F.col(c) - mean) / std).otherwise(F.col(c) - mean),
+        )
+    return out
+
+
+def quantile_transform_uniform(
+    df: DataFrame,
+    value_cols: list[str],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Empirical-CDF map to U[0,1] via percent_rank — suffix `_qt`."""
+    keys = keys or []
+    out = df
+    for c in value_cols:
+        w = Window.partitionBy(*keys).orderBy(c)
+        out = out.withColumn(f"{c}_qt", F.percent_rank().over(w))
+    return out
