@@ -1,0 +1,68 @@
+"""Streaming rollup vs batch parity; salted aggregation equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tods_spark.datagen import SCHEMA, gen_pandas, token_table
+from tods_spark.operators import skew
+from tods_spark.operators.rollup import rollup_raw
+from tods_spark.streaming.rollup_stream import run_stream_from_parquet
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    df = token_table(spark, 2500, partitions=6)
+    df.write.parquet(src)
+    batch = (
+        rollup_raw(spark.read.parquet(src), "1m")
+        .orderBy("source", "window_start")
+        .toPandas()
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    streamed = (
+        run_stream_from_parquet(spark, src, _parse_datatype_string(SCHEMA))
+        .orderBy("source", "window_start")
+        .toPandas()
+    )
+    # watermark may hold back the final (incomplete) windows per source; all
+    # emitted windows must match batch exactly
+    assert len(streamed) >= 0.9 * len(batch)
+    merged = streamed.merge(
+        batch, on=["source", "window_start"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(streamed)
+    for c in ("cnt", "sum_n_tok", "min_n_tok", "max_n_tok", "avg_n_tok",
+              "sum_sq_n_tok"):
+        np.testing.assert_allclose(merged[f"{c}_s"], merged[f"{c}_b"],
+                                   rtol=1e-12, err_msg=c)
+
+
+def test_salted_agg_equals_plain(spark):
+    raw = token_table(spark, 5000, partitions=6)
+    plain = (
+        raw.groupBy("source")
+        .agg(
+            {"n_tok": "count"},
+        )
+        .withColumnRenamed("count(n_tok)", "cnt")
+        .orderBy("source")
+        .toPandas()
+    )
+    salted = (
+        skew.salted_agg(raw, ["source"], n_salts=16, salt_from="doc_id")
+        .orderBy("source")
+        .toPandas()
+    )
+    np.testing.assert_array_equal(salted["cnt"], plain["cnt"])
+    pdf = gen_pandas(np.arange(5000))
+    exp = pdf.groupby("source")["n_tok"].agg(["sum", "min", "max"]).sort_index()
+    np.testing.assert_allclose(salted["sum_v"], exp["sum"])
+    np.testing.assert_allclose(salted["min_v"], exp["min"])
+    np.testing.assert_allclose(salted["max_v"], exp["max"])
+
+
+def test_skew_exists_in_generator(spark):
+    rep = skew.skew_report(token_table(spark, 4000, partitions=4), "source").toPandas()
+    assert rep.iloc[0]["source"] == "web" and rep.iloc[0]["share"] > 0.6

@@ -1,0 +1,85 @@
+"""Structured Streaming ingest for the raw→1m tier (SURVEY.md §2.12).
+
+The reference is entirely batch (no watermark/session/late-data machinery in
+TODS), so this is net-new engine capability: a streaming twin of
+operators/rollup.rollup_raw with
+
+  * event-time tumbling windows (`window(ts, '1 minute')`),
+  * a watermark bounding state for late data (`withWatermark`) — rows later
+    than the watermark are dropped from the stream and reconciled by the
+    BATCH re-rollup of affected partitions via the checkpoint table
+    (plans/checkpoint.py), which is the engine's late-data story,
+  * append output mode so each finalized window is emitted exactly once to
+    the tier sink (foreachBatch → PartitionedTable.overwrite_partitions for
+    exactly-once-in-effect delivery).
+
+In the sandbox the source is a parquet directory stream driven synchronously
+(`processAllAvailable`); on a cluster the same plan reads Kafka.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def streaming_rollup_1m(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    keys: tuple[str, ...] = ("source",),
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming twin of rollup_raw('1m') — same output schema, same
+    algebraic state, so 1m→1h cascade code is shared with batch."""
+    v = F.col(value_col).cast("double")
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.window(ts_col, "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(v).alias("sum_n_tok"),
+            F.min(v).alias("min_n_tok"),
+            F.max(v).alias("max_n_tok"),
+            F.sum(v * v).alias("sum_sq_n_tok"),
+        )
+        .select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            F.lit("1m").alias("tier"),
+            "cnt",
+            "sum_n_tok",
+            "min_n_tok",
+            "max_n_tok",
+            (F.col("sum_n_tok") / F.col("cnt")).alias("avg_n_tok"),
+            "sum_sq_n_tok",
+        )
+    )
+
+
+def run_stream_from_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    query_name: str = "rollup_1m_stream",
+    watermark: str = "2 minutes",
+    keys: tuple[str, ...] = ("source",),
+    value_col: str = "n_tok",
+):
+    """Drive the streaming rollup synchronously over a parquet directory
+    (sandbox harness; swap `readStream.format("kafka")` on a cluster)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src_dir)
+    )
+    agg = streaming_rollup_1m(stream, value_col=value_col, keys=keys,
+                              watermark=watermark)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
