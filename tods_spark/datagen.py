@@ -46,8 +46,10 @@ def _u01(x: np.ndarray) -> np.ndarray:
     return (_splitmix64(x) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def gen_pandas(indices: np.ndarray, seed: int = 42) -> pd.DataFrame:
-    """Generate rows for the given doc indices. Pure function of (i, seed)."""
+def gen_pandas(indices: np.ndarray, seed: int = 42, cadence_s: int = 7) -> pd.DataFrame:
+    """Generate rows for the given doc indices. Pure function of (i, seed,
+    cadence_s). `cadence_s` sets the base inter-doc spacing — 7 s for the
+    parity fixtures (FIXTURES.md F0), smaller for dense bench tables."""
     i = np.asarray(indices, dtype=np.uint64)
     s = np.uint64(seed)
 
@@ -64,12 +66,14 @@ def gen_pandas(indices: np.ndarray, seed: int = 42) -> pd.DataFrame:
 
     # ts: ~7s cadence with deterministic jitter; every 97th doc repeats the
     # previous second (duplicates), and every 211th jumps 10 min (gaps).
-    base = i.astype(np.int64) * 7
-    jitter = (_splitmix64(i + s + np.uint64(2)) % np.uint64(5)).astype(np.int64)
+    base = i.astype(np.int64) * cadence_s
+    jitter = (_splitmix64(i + s + np.uint64(2)) % np.uint64(min(5, cadence_s))).astype(np.int64)
     gaps = (i.astype(np.int64) // 211) * 600
     ts_sec = EPOCH0 + base + jitter + gaps
     dup_mask = (i % np.uint64(97)) == np.uint64(96)
-    ts_sec = np.where(dup_mask, EPOCH0 + (i.astype(np.int64) - 1) * 7 + gaps, ts_sec)
+    ts_sec = np.where(
+        dup_mask, EPOCH0 + (i.astype(np.int64) - 1) * cadence_s + gaps, ts_sec
+    )
 
     # tokens: token j of doc i = splitmix64(i*PRIME + j + seed') % VOCAB
     total = int(n_tok.sum())
@@ -96,7 +100,8 @@ def gen_pandas(indices: np.ndarray, seed: int = 42) -> pd.DataFrame:
     )
 
 
-def token_table(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+def token_table(spark, n_docs: int, seed: int = 42, partitions: int | None = None,
+                cadence_s: int = 7):
     """Distributed token table: spark.range → mapInPandas, zero shuffle."""
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
@@ -104,6 +109,6 @@ def token_table(spark, n_docs: int, seed: int = 42, partitions: int | None = Non
 
     def gen(batches):
         for pdf in batches:
-            yield gen_pandas(pdf["id"].to_numpy(np.uint64), seed)
+            yield gen_pandas(pdf["id"].to_numpy(np.uint64), seed, cadence_s)
 
     return rng.mapInPandas(gen, schema=SCHEMA)

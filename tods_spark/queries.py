@@ -1009,3 +1009,207 @@ def media_metadata(spark, sf_dir):
 def media_features(spark, sf_dir):
     m = MM.attach_fake_media(_docs(spark, sf_dir))
     return MM.extract_features(m, n_features=16)
+
+
+# --------------------------------------------------------------------------
+# K. segmentation / decomposition / scalers / detection plumbing twins
+# --------------------------------------------------------------------------
+
+from tods_spark.operators import decompose as DCOP  # noqa: E402
+from tods_spark.operators import detection as DTOP  # noqa: E402
+from tods_spark.operators import smoothing as SMOP  # noqa: E402
+from tods_spark.operators import spectral as SPOP  # noqa: E402
+
+
+@register(
+    "segmentation_w4_s2",
+    f"""
+WITH {_SERIES_SQL},
+b AS (
+  SELECT event_type, v,
+         row_number() OVER win - 1 AS rn,
+         list(v) OVER (PARTITION BY event_type ORDER BY window_start
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS arr
+  FROM series
+  WINDOW win AS (PARTITION BY event_type ORDER BY window_start)
+)
+SELECT event_type, CAST(rn // 2 AS BIGINT) AS seg_id, CAST(j AS INT) AS pos,
+       round(CASE WHEN j < len(arr) THEN arr[j + 1] ELSE 0.0 END + 1e-9, 4)
+         AS val
+FROM b, (SELECT unnest(range(4)) AS j)
+WHERE rn % 2 = 0
+""",
+)
+def segmentation_w4_s2(spark, sf_dir):
+    """SubsequenceSegmentation (F7 semantics: ceil(n/step) rows, zero-pad,
+    F-order flatten — single value column so flatten == the window slice),
+    exploded to scalars for the oracle compare."""
+    s = _series(spark, sf_dir)
+    seg = segmentation.segment_sql(s, ["v"], window_size=4, step=2,
+                                   keys=["event_type"], order_col="window_start")
+    return seg.select(
+        "event_type", "seg_id",
+        F.posexplode("output").alias("pos", "__v__"),
+    ).select("event_type", "seg_id", "pos", _r4("__v__").alias("val"))
+
+
+@register(
+    "seasonal_decompose_p3",
+    f"""
+WITH {_SERIES_SQL},
+b AS (
+  SELECT event_type, window_start, v,
+         row_number() OVER win - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         avg(v) OVER (PARTITION BY event_type ORDER BY window_start
+                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS tr
+  FROM series
+  WINDOW win AS (PARTITION BY event_type ORDER BY window_start)
+),
+t AS (
+  SELECT event_type, window_start, v, rn,
+         CASE WHEN rn >= 1 AND rn < n - 1 THEN tr END AS trend
+  FROM b
+),
+p AS (
+  SELECT event_type, rn % 3 AS phase, avg(v - trend) AS pmean
+  FROM t GROUP BY 1, 2
+),
+g AS (SELECT event_type, avg(pmean) AS gmean FROM p GROUP BY 1)
+SELECT t.event_type, t.window_start,
+       round(t.trend + 1e-9, 4) AS trend,
+       round(p.pmean - g.gmean + 1e-9, 4) AS seasonal,
+       round(t.v - t.trend - (p.pmean - g.gmean) + 1e-9, 4) AS resid
+FROM t
+JOIN p ON t.event_type = p.event_type AND t.rn % 3 = p.phase
+JOIN g ON t.event_type = g.event_type
+""",
+)
+def seasonal_decompose_p3(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    out = DCOP.seasonal_decompose(s, "v", period=3, keys=["event_type"],
+                                  order_col="window_start")
+    return out.select(
+        "event_type", "window_start",
+        _r4("trend").alias("trend"),
+        _r4("seasonal").alias("seasonal"),
+        _r4("resid").alias("resid"),
+    )
+
+
+@register(
+    "standard_scale_value",
+    """
+SELECT event_id,
+       round((value - avg(value) OVER ()) / stddev_pop(value) OVER () + 1e-9, 4)
+         AS value_scaled
+FROM events
+""",
+)
+def standard_scale_value(spark, sf_dir):
+    out = DCOP.standard_scale(_events(spark, sf_dir), ["value"])
+    return out.select("event_id", _r4("value_scaled").alias("value_scaled"))
+
+
+@register(
+    "quantile_transform_value",
+    """
+SELECT event_id,
+       round(percent_rank() OVER (ORDER BY value) + 1e-9, 4) AS value_qt
+FROM events
+""",
+)
+def quantile_transform_value(spark, sf_dir):
+    out = DCOP.quantile_transform_uniform(_events(spark, sf_dir), ["value"])
+    return out.select("event_id", _r4("value_qt").alias("value_qt"))
+
+
+@register(
+    "window_indices_w10_s5",
+    f"""
+WITH {_SERIES_SQL},
+b AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY window_start) - 1
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM series
+)
+SELECT event_type, CAST(rn // 5 AS BIGINT) AS seg_id,
+       rn AS left_ind, least(rn + 10, n) AS right_ind
+FROM b WHERE rn % 5 = 0
+""",
+)
+def window_indices_w10_s5(spark, sf_dir):
+    """Detector window-bound derivation (UODBasePrimitive.py:238-241)."""
+    s = _series(spark, sf_dir)
+    return DTOP.window_indices(s, window_size=10, step=5, keys=["event_type"],
+                               order_col="window_start")
+
+
+@register("ses_smoothing")  # rows-only: recurrence, not SQL-expressible
+def ses_smoothing_q(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    out = SMOP.smooth(s, ["v"], "simple_exponential_smoothing",
+                      keys=["event_type"], order_col="window_start")
+    return out.select("event_type", "window_start",
+                      _r4("v_simple_exponential_smoothing").alias("v_ses"))
+
+
+@register("holt_smoothing")  # rows-only: recurrence
+def holt_smoothing_q(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    out = SMOP.smooth(s, ["v"], "holt_smoothing", keys=["event_type"],
+                      order_col="window_start")
+    return out.select("event_type", "window_start",
+                      _r4("v_holt_smoothing").alias("v_holt"))
+
+
+@register("spectral_residual")  # rows-only: FFT, not SQL-expressible
+def spectral_residual_q(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    out = SPOP.spectral_transform(s, ["v"], "spectral_residual",
+                                  keys=["event_type"], order_col="window_start")
+    return out.select("event_type", "window_start", "v_spectral_residual")
+
+
+@register("auto_correlation_nlags20")  # rows-only: per-series ACF
+def auto_correlation_q(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    return SPOP.auto_correlation(s, ["v"], nlags=20, keys=["event_type"],
+                                 order_col="window_start")
+
+
+@register(
+    "continuity_ablation",
+    f"""
+WITH {_SERIES_SQL},
+iv AS (
+  SELECT event_type, window_start, v,
+         epoch(window_start) - lag(epoch(window_start))
+           OVER (PARTITION BY event_type ORDER BY window_start) AS gap
+  FROM series
+),
+mode_iv AS (
+  SELECT event_type, gap FROM (
+    SELECT event_type, gap, count(*) AS c,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY count(*) DESC, gap) AS rk
+    FROM iv WHERE gap IS NOT NULL GROUP BY 1, 2
+  ) WHERE rk = 1
+)
+SELECT i.event_type, i.window_start, round(i.v + 1e-9, 4) AS v
+FROM iv i JOIN mode_iv m ON i.event_type = m.event_type
+WHERE i.gap IS NULL OR i.gap = m.gap
+""",
+)
+def continuity_ablation(spark, sf_dir):
+    """ContinuityValidation 'ablation' mode: keep rows on the modal-interval
+    grid (ContinuityValidation.py:84-136)."""
+    s = _series(spark, sf_dir).withColumn("__t__", _epoch("window_start"))
+    out = gapfill.continuity_ablate(
+        s.select("event_type", F.col("__t__").alias("timestamp"),
+                 "window_start", "v"),
+        ts_col="timestamp", keys=("event_type",),
+    )
+    return out.select("event_type", "window_start", _r4("v").alias("v"))

@@ -26,6 +26,14 @@ def get_spark(
     ``cores``: int N -> local[N]; "*" -> local[*]; None -> $SPARK_GRAFT_CPUS
     or local[*].
     """
+    # glibc tuning for Arrow/numpy workers: without it every large numpy
+    # allocation mmaps fresh pages and pays first-touch page faults (measured
+    # ~150 MB/s on this kernel vs ~5 GB/s warm). Keeping big allocations in
+    # the arena (high mmap threshold, no trim) makes workers reuse warm pages
+    # — ~40x on allocation-heavy UDFs. Set BEFORE the JVM launches so
+    # spawned Python workers inherit it; executorEnv covers cluster mode.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]"
@@ -48,6 +56,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
