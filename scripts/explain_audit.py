@@ -57,12 +57,17 @@ def main() -> None:
 
     # 4. window stats stay in WholeStageCodegen / Tungsten WindowExec
     q = QUERIES["stat_mean_w5"](spark, SF)
-    q.count()  # AQE: codegen spans only visible in the final adaptive plan
     plan = q._jdf.queryExecution().executedPlan().toString()
     check("stat window uses WindowExec", "Window" in plan)
-    # codegen stages print as "*(n)" prefixes in the final adaptive plan
-    check("stat window has codegen spans",
-          "WholeStageCodegen" in plan or "*(" in plan)
+    # under AQE, WholeStageCodegen nodes materialize per query stage at
+    # runtime and don't print pre-execution — flip AQE off for the check
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        fmt = QUERIES["stat_mean_w5"](spark, SF)._jdf.queryExecution(
+        ).executedPlan().toString()
+        check("stat window has codegen spans", "*(" in fmt)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     check("stat window has no Python eval in hot path",
           "BatchEvalPython" not in plan)
 
