@@ -41,11 +41,22 @@ from tods_spark.session import get_spark
 from tods_spark.operators.rollup import AGG_COLS, full_cascade
 from tods_spark.operators import compression, gapfill
 
-path, cores, repeats = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+path, cores, repeats, rep = (sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
+                             int(sys.argv[4]))
 spark = get_spark(app_name=f"scaling_{cores}", cores=cores)
 
 def job():
-    raw = spark.read.parquet(path)
+    # logical replication: R time-shifted copies of the same parquet input.
+    # Windows don't collide across copies, so compute scales linearly with R
+    # while setup cost stays at one table write; both parallelism levels see
+    # the identical input.
+    base = spark.read.parquet(path)
+    parts = [base]
+    for k in range(1, rep):
+        parts.append(base.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {k*400} DAYS")))
+    raw = parts[0]
+    for p_ in parts[1:]:
+        raw = raw.unionByName(p_)
     tiers = full_cascade(raw, with_digest=True)
     tiers["1m"] = tiers["1m"].persist()
     rows = {t: df.count() for t, df in tiers.items()}
@@ -68,8 +79,9 @@ print(json.dumps({"cores": cores, "sec": best, "points": points,
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    rep = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "tokens.parquet")
         subprocess.run([sys.executable, "-c", SETUP, path, str(n_docs)],
@@ -77,7 +89,8 @@ def main() -> None:
         results = {}
         for cores in (8, 32):
             out = subprocess.run(
-                [sys.executable, "-c", WORKER, path, str(cores), str(repeats)],
+                [sys.executable, "-c", WORKER, path, str(cores),
+                 str(repeats), str(rep)],
                 capture_output=True, text=True, check=True,
             )
             results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
@@ -86,7 +99,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "n_docs": n_docs,
+                "n_docs": n_docs, "replication": rep,
                 "pps_local8": round(results[8]["pps"], 1),
                 "pps_local32": round(results[32]["pps"], 1),
                 "speedup_8_to_32": round(results[32]["pps"] / results[8]["pps"], 3),

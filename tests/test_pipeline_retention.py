@@ -1,0 +1,118 @@
+"""End-to-end engine: checkpointed cascade, resume, retention expiry,
+preprocessing operators."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tods_spark.datagen import token_table
+from tods_spark.operators import preprocessing as PP
+from tods_spark.pipeline import run_engine
+
+
+def test_run_engine_end_to_end_and_resume(spark, tmp_path):
+    # 12k docs at 7s cadence (+gaps) spans two calendar days — retention
+    # needs at least one expirable partition plus one survivor
+    raw = token_table(spark, 12000, partitions=5).cache()
+    base = str(tmp_path / "engine")
+
+    r1 = run_engine(spark, raw, base, with_digest=False, pack=True)
+    assert r1["1m"]["computed"] and r1["1h"]["computed"] and r1["1d"]["computed"]
+    t1m = spark.read.parquet(f"{base}/tier_1m")
+    t1d = spark.read.parquet(f"{base}/tier_1d")
+    assert t1m.count() > 0 and t1d.count() > 0
+    # cascade consistency: total cnt equal at every tier
+    assert (
+        t1m.agg(F.sum("cnt")).collect()[0][0]
+        == t1d.agg(F.sum("cnt")).collect()[0][0]
+        == 12000
+    )
+    packed = spark.read.parquet(f"{base}/tier_1m_gorilla")
+    assert packed.agg(F.sum("n_points")).collect()[0][0] == t1m.count()
+
+    # resume: nothing recomputed, identical table state
+    n1m = t1m.count()
+    r2 = run_engine(spark, raw, base, with_digest=False, pack=False)
+    assert not r2["1m"]["computed"] and not r2["1h"]["computed"]
+    assert spark.read.parquet(f"{base}/tier_1m").count() == n1m
+
+    # retention: expire 1m partitions older than 1 day from the max ts
+    from datetime import timedelta
+
+    max_day = t1m.agg(F.max("window_start")).collect()[0][0]
+    r3 = run_engine(
+        spark, raw, base, with_digest=False, pack=False,
+        now=datetime(max_day.year, max_day.month, max_day.day)
+        + timedelta(days=1),
+        horizons={"1m": 1, "1h": 365, "1d": None},
+    )
+    assert r3["expired"]["1m"], "old 1m partitions must be dropped"
+    t1m_after = spark.read.parquet(f"{base}/tier_1m")
+    assert t1m_after.count() < n1m
+    # 1d tier still holds the full history (rollup-based retention)
+    assert (
+        spark.read.parquet(f"{base}/tier_1d").agg(F.sum("cnt")).collect()[0][0]
+        == 12000
+    )
+    raw.unpersist()
+
+
+def test_parse_columns(spark):
+    pdf = pd.DataFrame(
+        {
+            "i": ["1", "2", "3"],
+            "f": ["1.5", "2.5", "x"],
+            "d": ["2024-01-01 00:00:00"] * 3,
+            "vec": ["1.0,2.0", "3.0,4.0", "5.0,6.0"],
+        }
+    )
+    out = PP.parse_columns(
+        spark.createDataFrame(pdf),
+        {"i": "int", "f": "float", "d": "datetime", "vec": "float_vector"},
+    )
+    types = dict(out.dtypes)
+    assert types["i"] == "bigint" and types["f"] == "double"
+    assert types["d"].startswith("timestamp") and types["vec"] == "array<double>"
+    rows = out.orderBy("i").collect()
+    assert rows[0]["vec"] == [1.0, 2.0]
+    assert rows[2]["f"] is None  # malformed float -> null (try-cast semantics)
+
+
+def test_categorical_to_binary(spark):
+    pdf = pd.DataFrame({"id": [1, 2, 3, 4], "cat": ["a", "b", "a", None]})
+    out = PP.categorical_to_binary(spark.createDataFrame(pdf), "cat")
+    got = out.orderBy("id").toPandas()
+    np.testing.assert_array_equal(got["cat_a"], [1, 0, 1, 0])
+    np.testing.assert_array_equal(got["cat_b"], [0, 1, 0, 0])
+    np.testing.assert_array_equal(got["cat_nan"], [0, 0, 0, 1])
+
+
+def test_impute_strategies(spark):
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0, None], "b": [5.0, 5.0, None, 7.0]})
+    df = spark.createDataFrame(pdf)
+    mean = PP.impute(df, ["a", "b"], "mean").toPandas()
+    assert mean["a"].tolist() == [1.0, 2.0, 3.0, 2.0]
+    med = PP.impute(df, ["b"], "median").toPandas()
+    assert med["b"].tolist() == [5.0, 5.0, 5.0, 7.0]
+    mf = PP.impute(df, ["b"], "most_frequent").toPandas()
+    assert mf["b"].tolist() == [5.0, 5.0, 5.0, 7.0]
+    const = PP.impute(df, ["a"], "constant", fill_value=-1.0).toPandas()
+    assert const["a"].tolist() == [1.0, -1.0, 3.0, -1.0]
+
+
+def test_filter_nan_tail_columns(spark):
+    pdf = pd.DataFrame(
+        {
+            "ord": [0, 1, 2],
+            "keep": [1.0, 2.0, 3.0],
+            "drop_me": [1.0, 2.0, float("nan")],
+        }
+    )
+    out = PP.filter_nan_tail_columns(
+        spark.createDataFrame(pdf), ["keep", "drop_me"], order_col="ord"
+    )
+    assert "drop_me" not in out.columns and "keep" in out.columns

@@ -1,0 +1,89 @@
+"""End-to-end engine driver: the deployable job that ties the pieces
+together (what `spark-submit --py-files tods_spark.zip run_job.py` executes
+on a cluster).
+
+    raw token table
+      → (optional) timestamp dedup               operators/validation
+      → 1m rollup (algebraic + digest)           operators/rollup
+      → 1h, 1d cascade                           operators/rollup
+      each tier: checkpointed partition write    plans/checkpoint, sources/storage
+      → tumbling gap-fill view of each tier      operators/gapfill
+      → Gorilla pack of each tier                operators/compression
+      → retention expiry per tier                plans/retention
+
+Every stage is resumable: re-running `run_engine` after a crash skips
+completed (tier, partition) pairs via the checkpoint log and converges to
+identical bytes (dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import SparkSession, functions as F
+
+from tods_spark.operators import compression
+from tods_spark.operators.rollup import rollup_cascade, rollup_raw
+from tods_spark.plans.checkpoint import CheckpointLog, run_tier
+from tods_spark.plans.retention import DEFAULT_HORIZON_DAYS, expire_partitions
+from tods_spark.sources.storage import PartitionedTable
+
+
+def run_engine(
+    spark: SparkSession,
+    raw_df,
+    base_dir: str,
+    job_id: str = "rollup",
+    keys: tuple[str, ...] = ("source",),
+    value_col: str = "n_tok",
+    with_digest: bool = True,
+    horizons: dict | None = None,
+    now: datetime | None = None,
+    pack: bool = True,
+) -> dict:
+    """Run the full cascade with checkpointed writes; returns per-tier
+    stats {tier: {"computed": [...], "skipped": [...], "rows_out": n}}."""
+    ckpt = CheckpointLog(f"{base_dir}/checkpoint.jsonl")
+    horizons = horizons or DEFAULT_HORIZON_DAYS
+    report: dict = {}
+
+    t1m_table = PartitionedTable(spark, f"{base_dir}/tier_1m", ["part_key"])
+    report["1m"] = run_tier(
+        spark, raw_df,
+        lambda df: rollup_raw(df, "1m", value_col=value_col, keys=keys,
+                              with_digest=with_digest),
+        t1m_table, ckpt, job_id, "1m", in_ts_col="ts",
+    )
+
+    t1m = t1m_table.read()
+    t1h_table = PartitionedTable(spark, f"{base_dir}/tier_1h", ["part_key"])
+    report["1h"] = run_tier(
+        spark, t1m.drop("part_key"),
+        lambda df: rollup_cascade(df, "1m", "1h", keys=keys),
+        t1h_table, ckpt, job_id, "1h", in_ts_col="window_start",
+    )
+
+    t1h = t1h_table.read()
+    t1d_table = PartitionedTable(spark, f"{base_dir}/tier_1d", ["part_key"])
+    report["1d"] = run_tier(
+        spark, t1h.drop("part_key"),
+        lambda df: rollup_cascade(df, "1h", "1d", keys=keys),
+        t1d_table, ckpt, job_id, "1d", in_ts_col="window_start",
+    )
+
+    if pack:
+        packed = compression.pack_tier(
+            t1m_table.read().drop("part_key"), value_col="avg_n_tok", keys=keys
+        ).withColumn("part_key", F.date_format("chunk_start", "yyyy-MM-dd"))
+        PartitionedTable(
+            spark, f"{base_dir}/tier_1m_gorilla", ["part_key"]
+        ).overwrite_partitions(packed)
+
+    if now is not None:
+        for tier, table in (("1m", t1m_table), ("1h", t1h_table),
+                            ("1d", t1d_table)):
+            dropped = expire_partitions(
+                table, tier, now, horizons.get(tier), ckpt, job_id=job_id
+            )
+            report.setdefault("expired", {})[tier] = dropped
+    return report
