@@ -54,6 +54,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # pin -Xms to -Xmx: G1 otherwise uncommits heap regions between
+        # bursts, and this kernel's first-touch page faults are globally
+        # serialized (~1 GB/s across ALL threads) — an unpinned heap makes
+        # every allocation burst a kernel convoy at high parallelism
+        # (measured: 32-thread tier write 59s unpinned vs 13s pinned)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
