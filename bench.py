@@ -46,25 +46,35 @@ DOCS_PER_SF = 4_000_000
 
 
 def run_token_cascade(spark, n_docs: int) -> tuple[float, int]:
-    """The flagship pipeline; returns (seconds, rollup points produced)."""
+    """The flagship pipeline; returns (seconds, rollup points produced).
+
+    The 1m tier is materialized to parquet — the engine's real tier
+    boundary (sources/storage) — and 1h/1d/gap-fill/pack re-aggregate the
+    stored tier, never raw. (.persist() is deliberately avoided: this
+    kernel serializes first-touch page faults, which turns MemoryStore
+    writes into a convoy at high thread counts.)"""
+    import tempfile
+
+    from tods_spark.operators.rollup import rollup_cascade
+
     t0 = time.time()
-    raw = token_table(spark, n_docs)
-    tiers = full_cascade(raw, with_digest=True)
-    # materialize the 1m tier once; 1h/1d/gap-fill/pack all re-aggregate it
-    # (the cascade never re-reads raw — that's the point of the tier design)
-    tiers["1m"] = tiers["1m"].persist()
-    rows = {}
-    for tier, df in tiers.items():
-        rows[tier] = df.count()
-    # tumbling-window gap-fill on the 1m tier
-    filled = gapfill.gap_fill_tier(tiers["1m"], 60)
-    rows["1m_gapfilled"] = filled.count()
-    # Gorilla-pack the 1m tier per (source, day)
-    packed = compression.pack_tier(tiers["1m"], value_col="avg_n_tok")
-    rep = packed.agg(F.sum("n_points").alias("p")).collect()[0]
-    assert rep["p"] == rows["1m"]
-    sec = time.time() - t0
-    tiers["1m"].unpersist()
+    with tempfile.TemporaryDirectory() as td:
+        raw = token_table(spark, n_docs)
+        tiers = full_cascade(raw, with_digest=True)
+        t1m_path = os.path.join(td, "tier_1m.parquet")
+        tiers["1m"].write.mode("overwrite").parquet(t1m_path)
+        t1m = spark.read.parquet(t1m_path)
+        rows = {"1m": t1m.count()}
+        t1h = rollup_cascade(t1m, "1m", "1h")
+        rows["1h"] = t1h.count()
+        rows["1d"] = rollup_cascade(t1h, "1h", "1d").count()
+        # tumbling-window gap-fill on the 1m tier
+        rows["1m_gapfilled"] = gapfill.gap_fill_tier(t1m, 60).count()
+        # Gorilla-pack the 1m tier per (source, day)
+        packed = compression.pack_tier(t1m, value_col="avg_n_tok")
+        rep = packed.agg(F.sum("n_points").alias("p")).collect()[0]
+        assert rep["p"] == rows["1m"]
+        sec = time.time() - t0
     points = sum(rows[t] for t in ("1m", "1h", "1d")) * len(AGG_COLS)
     return sec, points
 

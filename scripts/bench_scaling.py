@@ -45,6 +45,9 @@ path, cores, repeats, rep = (sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
                              int(sys.argv[4]))
 spark = get_spark(app_name=f"scaling_{cores}", cores=cores)
 
+import os, tempfile
+from tods_spark.operators.rollup import rollup_cascade, rollup_raw
+
 def job():
     # logical replication: R time-shifted copies of the same parquet input.
     # Windows don't collide across copies, so compute scales linearly with R
@@ -57,13 +60,17 @@ def job():
     raw = parts[0]
     for p_ in parts[1:]:
         raw = raw.unionByName(p_)
-    tiers = full_cascade(raw, with_digest=True)
-    tiers["1m"] = tiers["1m"].persist()
-    rows = {t: df.count() for t, df in tiers.items()}
-    gapfill.gap_fill_tier(tiers["1m"], 60).count()
-    packed = compression.pack_tier(tiers["1m"], value_col="avg_n_tok")
-    packed.agg(F.sum("n_points")).collect()
-    tiers["1m"].unpersist()
+    with tempfile.TemporaryDirectory() as td:
+        t1m_path = os.path.join(td, "tier_1m.parquet")
+        rollup_raw(raw, "1m", with_digest=True).write.mode("overwrite").parquet(t1m_path)
+        t1m = spark.read.parquet(t1m_path)
+        rows = {"1m": t1m.count()}
+        t1h = rollup_cascade(t1m, "1m", "1h")
+        rows["1h"] = t1h.count()
+        rows["1d"] = rollup_cascade(t1h, "1h", "1d").count()
+        gapfill.gap_fill_tier(t1m, 60).count()
+        packed = compression.pack_tier(t1m, value_col="avg_n_tok")
+        packed.agg(F.sum("n_points")).collect()
     return sum(rows[t] for t in ("1m", "1h", "1d")) * len(AGG_COLS)
 
 points = job()  # warm-up: JVM JIT, python workers, page-fault arena
