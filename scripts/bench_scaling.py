@@ -56,7 +56,7 @@ def job():
     base = spark.read.parquet(path)
     parts = [base]
     for k in range(1, rep):
-        parts.append(base.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {k*400} DAYS")))
+        parts.append(base.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {k*24} DAYS")))
     raw = parts[0]
     for p_ in parts[1:]:
         raw = raw.unionByName(p_)
