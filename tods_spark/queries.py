@@ -1213,3 +1213,32 @@ def continuity_ablation(spark, sf_dir):
         ts_col="timestamp", keys=("event_type",),
     )
     return out.select("event_type", "window_start", _r4("v").alias("v"))
+
+
+# --------------------------------------------------------------------------
+# L. detector cores (rows-only: OLS / SVD / kNN scoring is not
+#    SQL-expressible; parity is pytest vs numpy — tests/test_detectors.py)
+# --------------------------------------------------------------------------
+
+from tods_spark.operators import detectors as DET  # noqa: E402
+
+
+@register("detect_autoreg")
+def detect_autoreg_q(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    return DET.detect(s, "v", "autoreg", window_size=10, keys=["event_type"],
+                      order_col="window_start")
+
+
+@register("detect_pca")
+def detect_pca_q(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    return DET.detect(s, "v", "pca", window_size=10, keys=["event_type"],
+                      order_col="window_start")
+
+
+@register("detect_knn")
+def detect_knn_q(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    return DET.detect(s, "v", "knn", window_size=10, keys=["event_type"],
+                      order_col="window_start")
