@@ -102,7 +102,10 @@ def spectral_transform(
     **params,
 ) -> DataFrame:
     """Append per-series spectral columns. method ∈ {spectral_residual,
-    fft_mag, dct, bk_filter}."""
+    fft_mag, dct, bk_filter, hp_cycle, hp_trend, yeo_johnson,
+    wavelet_denoise}."""
+    from tods_spark.functions import filters as FL
+
     keys = keys or []
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -125,12 +128,28 @@ def spectral_transform(
                 conv[:k] = np.nan
                 conv[len(y) - k:] = np.nan
                 pdf[f"{c}_bk_filter"] = conv
+            elif method in ("hp_cycle", "hp_trend"):
+                cycle, trend = FL.hp_filter(y, params.get("lamb", 1600.0))
+                pdf[f"{c}_{method}"] = cycle if method == "hp_cycle" else trend
+            elif method == "yeo_johnson":
+                pdf[f"{c}_yeo_johnson"] = FL.yeo_johnson_transform(
+                    y, params.get("lmbda"), params.get("standardize", True)
+                )
+            elif method == "wavelet_denoise":
+                coeffs = FL.haar_dwt(y, params.get("level"))
+                thr = params.get("threshold", 0.0)
+                coeffs = [coeffs[0]] + [
+                    np.where(np.abs(cd) > thr, cd, 0.0) for cd in coeffs[1:]
+                ]
+                pdf[f"{c}_wavelet_denoise"] = FL.haar_idwt(coeffs, len(y))
             else:
                 raise ValueError(method)
         return pdf
 
     suffix = {"spectral_residual": "spectral_residual", "fft_mag": "fft_mag",
-              "dct": "dct", "bk_filter": "bk_filter"}[method]
+              "dct": "dct", "bk_filter": "bk_filter", "hp_cycle": "hp_cycle",
+              "hp_trend": "hp_trend", "yeo_johnson": "yeo_johnson",
+              "wavelet_denoise": "wavelet_denoise"}[method]
     new_cols = ", ".join(f"`{c}_{suffix}` double" for c in value_cols)
     schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields

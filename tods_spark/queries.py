@@ -1242,3 +1242,24 @@ def detect_knn_q(spark, sf_dir):
     s = _series(spark, sf_dir)
     return DET.detect(s, "v", "knn", window_size=10, keys=["event_type"],
                       order_col="window_start")
+
+
+@register("hp_filter_trend")  # rows-only: pentadiagonal solve, not SQL
+def hp_filter_trend_q(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    return SPOP.spectral_transform(s, ["v"], "hp_trend", keys=["event_type"],
+                                   order_col="window_start")
+
+
+@register("wavelet_denoise")  # rows-only: multilevel DWT, not SQL
+def wavelet_denoise_q(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    return SPOP.spectral_transform(s, ["v"], "wavelet_denoise", threshold=0.5,
+                                   keys=["event_type"], order_col="window_start")
+
+
+@register("yeo_johnson")  # rows-only: MLE lambda fit, not SQL
+def yeo_johnson_q(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    return SPOP.spectral_transform(s, ["v"], "yeo_johnson",
+                                   keys=["event_type"], order_col="window_start")
