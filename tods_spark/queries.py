@@ -1263,3 +1263,12 @@ def yeo_johnson_q(spark, sf_dir):
     s = _series(spark, sf_dir)
     return SPOP.spectral_transform(s, ["v"], "yeo_johnson",
                                    keys=["event_type"], order_col="window_start")
+
+
+@register("matrix_profile_w20")  # rows-only: STOMP, not SQL-expressible
+def matrix_profile_q(spark, sf_dir):
+    from tods_spark.operators import matrix_profile as MPOP
+
+    s = _series(spark, sf_dir)
+    return MPOP.matrix_profile(s, "v", 20, keys=["event_type"],
+                               order_col="window_start")
