@@ -118,3 +118,32 @@ def test_datagen_partition_independent(spark):
     assert (a["n_tok"].values == b["n_tok"].values).all()
     for x, y in zip(a["tokens"], b["tokens"]):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_partial_digest_rollup_equivalent(spark):
+    """Map-side partial digest path: identical algebraic state to the
+    collect_list path, digests rank-equivalent (exact at small windows)."""
+    from tods_spark.operators.rollup import rollup_raw_partial_digest
+
+    n = 3000
+    raw = token_table(spark, n, partitions=6)
+    a = (
+        full_cascade(raw, with_digest=True)["1m"]
+        .orderBy("source", "window_start")
+        .toPandas()
+    )
+    b = (
+        rollup_raw_partial_digest(raw, "1m")
+        .orderBy("source", "window_start")
+        .toPandas()
+    )
+    assert len(a) == len(b)
+    for c in ("cnt", "sum_n_tok", "min_n_tok", "max_n_tok", "avg_n_tok",
+              "sum_sq_n_tok"):
+        np.testing.assert_allclose(a[c], b[c], rtol=1e-12, err_msg=c)
+    # digests: identical when the window fits one Arrow batch & count <= K
+    # (the common case here); otherwise rank-equivalent — check medians agree
+    for da, db, cnt in zip(a["qdigest"], b["qdigest"], a["cnt"]):
+        qa = sketches.digest_quantile(np.asarray(da, float), 0.5)
+        qb = sketches.digest_quantile(np.asarray(db, float), 0.5)
+        np.testing.assert_allclose(qa, qb, rtol=1e-9)

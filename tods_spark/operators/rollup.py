@@ -98,6 +98,87 @@ def rollup_raw(
     return out
 
 
+def rollup_raw_partial_digest(
+    df: DataFrame,
+    tier: str = "1m",
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    keys: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """raw → first tier with MAP-SIDE digest combine: each Arrow batch emits
+    one partial row (algebraic state + digest) per (keys, window) it
+    contains; the reduce merges partials. Shuffle volume is
+    O(#batches × #windows-per-batch × digest) instead of O(#rows) — the
+    map-side-combine pattern `collect_list` can't give you (it ships every
+    raw value). Same output schema as rollup_raw(with_digest=True); exact
+    while per-window counts stay ≤ K, grid-merged above (functions/sketches).
+    """
+    interval_s = TIER_SECONDS[tier]
+    key_list = list(keys)
+    partial_schema = (
+        ", ".join(f"{k} string" for k in key_list)
+        + ", window_start timestamp, cnt long, sum_n_tok double, "
+        + "min_n_tok double, max_n_tok double, sum_sq_n_tok double, "
+        + "qdigest array<double>"
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            ts = pdf[ts_col].to_numpy("datetime64[s]").astype("int64")
+            w = (ts // interval_s) * interval_s
+            v = pdf[value_col].to_numpy(np.float64)
+            grp = pd.DataFrame({**{k: pdf[k] for k in key_list},
+                                "__w__": w, "__v__": v})
+            rows = []
+            for kv, g in grp.groupby([*key_list, "__w__"], sort=False):
+                vals = g["__v__"].to_numpy()
+                rows.append(
+                    (*kv[:-1], pd.Timestamp(kv[-1], unit="s"), len(vals),
+                     vals.sum(), vals.min(), vals.max(), float((vals**2).sum()),
+                     sketches.digest_from_values(vals))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[*key_list, "window_start", "cnt", "sum_n_tok",
+                         "min_n_tok", "max_n_tok", "sum_sq_n_tok", "qdigest"],
+            )
+
+    part = df.select(*key_list, ts_col, value_col).mapInPandas(
+        partials, schema=partial_schema
+    )
+
+    @F.pandas_udf("array<double>")
+    def merge(states: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                sketches.merge_digests(
+                    [np.asarray(s["qdigest"], float) for s in st],
+                    np.asarray([s["cnt"] for s in st], float),
+                )
+                for st in states
+            ]
+        )
+
+    out = (
+        part.groupBy(*key_list, "window_start")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_n_tok").alias("sum_n_tok"),
+            F.min("min_n_tok").alias("min_n_tok"),
+            F.max("max_n_tok").alias("max_n_tok"),
+            F.sum("sum_sq_n_tok").alias("sum_sq_n_tok"),
+            F.collect_list(F.struct("qdigest", "cnt")).alias("_dstate"),
+        )
+        .withColumn("avg_n_tok", F.col("sum_n_tok") / F.col("cnt"))
+        .withColumn("qdigest", merge("_dstate"))
+        .drop("_dstate")
+    )
+    return out.select(
+        *key_list, "window_start", F.lit(tier).alias("tier"), *AGG_COLS,
+        "qdigest",
+    )
+
+
 def rollup_cascade(
     tier_df: DataFrame,
     from_tier: str,
