@@ -206,3 +206,29 @@ def test_system_wise_and_ensemble_and_metrics(spark):
         )
     ).collect()[0]
     assert ev["tp"] == 2 and ev["recall"] == 1.0
+
+
+def test_truncated_svd_reconstruction(spark):
+    rng = np.random.default_rng(12)
+    # rank-2 data + noise: top-2 SVD projection must capture ~all variance
+    basis = rng.normal(size=(2, 4))
+    coef = rng.normal(size=(60, 2))
+    X = coef @ basis + rng.normal(0, 1e-6, (60, 4))
+    pdf = pd.DataFrame(X, columns=["a", "b", "c", "d"])
+    pdf["timestamp"] = range(60)
+    out = (
+        DC.truncated_svd(spark.createDataFrame(pdf), ["a", "b", "c", "d"],
+                         n_components=2)
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    proj = out[["svd_0", "svd_1"]].to_numpy()
+    # projection energy == matrix energy (rank 2)
+    np.testing.assert_allclose(
+        (proj**2).sum(), (X**2).sum(), rtol=1e-6
+    )
+    # numpy parity incl. sign convention
+    u, s, vt = np.linalg.svd(X, full_matrices=False)
+    signs = np.sign(vt[np.arange(2), np.abs(vt[:2]).argmax(axis=1)])
+    expect = X @ (vt[:2] * signs[:, None]).T
+    np.testing.assert_allclose(proj, expect, atol=1e-8)

@@ -126,6 +126,48 @@ def axiswise_scale_rows(df: DataFrame, value_cols: list[str]) -> DataFrame:
     return out
 
 
+def truncated_svd(
+    df: DataFrame,
+    value_cols: list[str],
+    n_components: int = 2,
+    keys: list[str] | None = None,
+    order_col: str = "timestamp",
+) -> DataFrame:
+    """SKTruncatedSVDPrimitive (tods/feature_analysis/SKTruncatedSVD.py:166):
+    project the feature columns onto the top-k right singular vectors of the
+    UNCENTERED matrix (sklearn TruncatedSVD semantics), emitting
+    `svd_0..svd_{k-1}`. Per-group exact SVD via numpy inside a grouped-map
+    Arrow UDF; sign convention fixed by making each component's
+    largest-|loading| positive (sklearn svd_flip)."""
+    import numpy as np
+    import pandas as pd
+
+    from tods_spark.operators._util import grouped_apply
+
+    keys = keys or []
+    k = n_components
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        X = pdf[value_cols].to_numpy(float)
+        u, s, vt = np.linalg.svd(X, full_matrices=False)
+        kk = min(k, vt.shape[0])
+        # svd_flip: deterministic signs
+        signs = np.sign(vt[np.arange(kk), np.abs(vt[:kk]).argmax(axis=1)])
+        proj = X @ (vt[:kk] * signs[:, None]).T
+        for i in range(kk):
+            pdf[f"svd_{i}"] = proj[:, i]
+        for i in range(kk, k):
+            pdf[f"svd_{i}"] = 0.0
+        return pdf
+
+    new_cols = ", ".join(f"svd_{i} double" for i in range(k))
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", " + new_cols
+    return grouped_apply(df, keys, fn, schema)
+
+
 def quantile_transform_uniform(
     df: DataFrame,
     value_cols: list[str],
