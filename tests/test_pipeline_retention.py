@@ -116,3 +116,19 @@ def test_filter_nan_tail_columns(spark):
         spark.createDataFrame(pdf), ["keep", "drop_me"], order_col="ord"
     )
     assert "drop_me" not in out.columns and "keep" in out.columns
+
+
+def test_run_engine_with_dedup(spark, tmp_path):
+    raw = token_table(spark, 2000, partitions=3)
+    base = str(tmp_path / "engine_dedup")
+    run_engine(spark, raw, base, with_digest=False, pack=False, dedup="first")
+    t1m = spark.read.parquet(f"{base}/tier_1m")
+    total = t1m.agg(F.sum("cnt")).collect()[0][0]
+    # expected: one row per distinct (source, ts) — computed from the same
+    # deterministic generator
+    from tods_spark.datagen import gen_pandas
+    import numpy as np
+
+    pdf = gen_pandas(np.arange(2000))
+    expected = len(pdf.drop_duplicates(["source", "ts"]))
+    assert total == expected < 2000

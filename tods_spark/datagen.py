@@ -66,14 +66,20 @@ def gen_pandas(indices: np.ndarray, seed: int = 42, cadence_s: int = 7) -> pd.Da
 
     # ts: ~7s cadence with deterministic jitter; every 97th doc repeats the
     # previous second (duplicates), and every 211th jumps 10 min (gaps).
-    base = i.astype(np.int64) * cadence_s
-    jitter = (_splitmix64(i + s + np.uint64(2)) % np.uint64(min(5, cadence_s))).astype(np.int64)
-    gaps = (i.astype(np.int64) // 211) * 600
-    ts_sec = EPOCH0 + base + jitter + gaps
+    def _ts(idx: np.ndarray) -> np.ndarray:
+        base = idx.astype(np.int64) * cadence_s
+        jitter = (
+            _splitmix64(idx + s + np.uint64(2)) % np.uint64(min(5, cadence_s))
+        ).astype(np.int64)
+        gaps = (idx.astype(np.int64) // 211) * 600
+        return EPOCH0 + base + jitter + gaps
+
+    ts_sec = _ts(i)
+    # every 97th doc repeats the PREVIOUS doc's exact timestamp (duplicate
+    # injection for the dedup operators — computed from i-1, so it stays a
+    # pure function of the row index)
     dup_mask = (i % np.uint64(97)) == np.uint64(96)
-    ts_sec = np.where(
-        dup_mask, EPOCH0 + (i.astype(np.int64) - 1) * cadence_s + gaps, ts_sec
-    )
+    ts_sec = np.where(dup_mask, _ts(i - np.uint64(1)), ts_sec)
 
     # tokens: token j of doc i = splitmix64(i*PRIME + j + seed') % VOCAB
     total = int(n_tok.sum())

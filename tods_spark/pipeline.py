@@ -40,12 +40,26 @@ def run_engine(
     horizons: dict | None = None,
     now: datetime | None = None,
     pack: bool = True,
+    dedup: str | None = None,
 ) -> dict:
     """Run the full cascade with checkpointed writes; returns per-tier
-    stats {tier: {"computed": [...], "skipped": [...], "rows_out": n}}."""
+    stats {tier: {"computed": [...], "skipped": [...], "rows_out": n}}.
+
+    dedup: None | 'first' | 'average' — drop duplicate timestamps per key
+    before the rollup (DuplicationValidation semantics, the F0 generator
+    plants duplicate ts on every 97th doc)."""
     ckpt = CheckpointLog(f"{base_dir}/checkpoint.jsonl")
     horizons = horizons or DEFAULT_HORIZON_DAYS
     report: dict = {}
+
+    if dedup is not None:
+        from tods_spark.operators.validation import dedup_timestamps
+
+        raw_df = dedup_timestamps(
+            raw_df, ts_col="ts", keep=dedup,
+            value_cols=(value_col,) if dedup == "average" else (),
+            keys=keys, order_col="doc_id",
+        )
 
     t1m_table = PartitionedTable(spark, f"{base_dir}/tier_1m", ["part_key"])
     report["1m"] = run_tier(
