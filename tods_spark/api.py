@@ -104,7 +104,10 @@ def build_pipeline(config: dict):
     stages = []
     for cfg in config.get("timeseries_processing", []):
         stages.append(_stage(cfg, keys, order_col))
-    feats = config.get("feature_analysis") or [DEFAULT_FEATURE]
+    # default stage only when the key is ABSENT (an explicit [] means none)
+    feats = config.get("feature_analysis")
+    if feats is None:
+        feats = [DEFAULT_FEATURE]
     for cfg in feats:
         stages.append(_stage(cfg, keys, order_col))
     det = config.get("detection")

@@ -1272,3 +1272,49 @@ def matrix_profile_q(spark, sf_dir):
     s = _series(spark, sf_dir)
     return MPOP.matrix_profile(s, "v", 20, keys=["event_type"],
                                order_col="window_start")
+
+
+@register(
+    "pipeline_api_demo",
+    f"""
+WITH {_SERIES_SQL},
+ma AS (
+  SELECT event_type, window_start, v,
+         avg(v) OVER (PARTITION BY event_type ORDER BY window_start
+                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+           AS v_moving_average
+  FROM series
+),
+th AS (
+  SELECT event_type, quantile_cont(v_moving_average, 0.9) AS t
+  FROM ma GROUP BY 1
+)
+SELECT ma.event_type, ma.window_start,
+       round(ma.v_moving_average + 1e-9, 4) AS v_moving_average,
+       CASE WHEN ma.v_moving_average > th.t THEN 1 ELSE 0 END AS label
+FROM ma JOIN th ON ma.event_type = th.event_type
+""",
+)
+def pipeline_api_demo(spark, sf_dir):
+    """The build_pipeline(config) entry point (reference entry point B,
+    tods/utils.py:187-279) run end-to-end: moving average → contamination
+    threshold, expressed as ONE Catalyst plan."""
+    from tods_spark.api import build_pipeline
+
+    pipe = build_pipeline(
+        {
+            "keys": ["event_type"],
+            "order_col": "window_start",
+            "timeseries_processing": [
+                {"op": "moving_average", "cols": ["v"]},
+            ],
+            "feature_analysis": [],
+            "detection": {"score_col": "v_moving_average",
+                          "contamination": 0.1},
+        }
+    )
+    out = pipe(_series(spark, sf_dir))
+    return out.select(
+        "event_type", "window_start",
+        _r4("v_moving_average").alias("v_moving_average"), "label",
+    )
