@@ -1318,3 +1318,43 @@ def pipeline_api_demo(spark, sf_dir):
         "event_type", "window_start",
         _r4("v_moving_average").alias("v_moving_average"), "label",
     )
+
+
+# extra trailing-window stat twins (same backfill template)
+QUERIES["stat_abs_sum_w5"] = _mk_stat_query("abs_sum", 5)
+ORACLES["stat_abs_sum_w5"] = _stat_sql("sum(abs(v)) OVER frame", 5, "v_abs_sum")
+QUERIES["stat_variation_w5"] = _mk_stat_query("variation", 5)
+ORACLES["stat_variation_w5"] = _stat_sql(
+    "round(stddev_pop(v) OVER frame / avg(v) OVER frame, 4)", 5, "v_variation"
+)
+QUERIES["stat_gmean_w5"] = _mk_stat_query("gmean", 5)
+ORACLES["stat_gmean_w5"] = _stat_sql(
+    "round(exp(avg(ln(v)) OVER frame), 4)", 5, "v_gmean"
+)
+QUERIES["stat_hmean_w5"] = _mk_stat_query("hmean", 5)
+ORACLES["stat_hmean_w5"] = _stat_sql(
+    "round(count(v) OVER frame / sum(1.0 / v) OVER frame, 4)", 5, "v_hmean"
+)
+QUERIES["stat_matd_w5"] = _mk_stat_query("mean_abs_temporal_derivative", 5)
+ORACLES["stat_matd_w5"] = f"""
+WITH {_SERIES_SQL},
+d AS (
+  SELECT event_type, window_start,
+         abs(v - lag(v) OVER (PARTITION BY event_type ORDER BY window_start))
+           AS dv
+  FROM series
+),
+base AS (
+  SELECT event_type, window_start, row_number() OVER win AS rn,
+         avg(dv) OVER frame AS raw
+  FROM d
+  WINDOW win AS (PARTITION BY event_type ORDER BY window_start),
+         frame AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, window_start,
+       round(CASE WHEN rn < 5 THEN max(CASE WHEN rn = 5 THEN raw END)
+             OVER (PARTITION BY event_type) ELSE raw END + 1e-9, 4)
+         AS v_mean_abs_temporal_derivative
+FROM base
+"""
