@@ -30,6 +30,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                 if isinstance(v, (list, np.ndarray))
                 else v
             )
+        # normalize WITHIN a type kind (the driver does too: int32-vs-int64
+        # and us-vs-ns timestamp rows hashed green in round 1); int-vs-float
+        # is NOT normalized (sum(int) HUGEINT→float64 rows hashed RED)
+        elif pd.api.types.is_datetime64_any_dtype(df[c].dtype):
+            df[c] = df[c].astype("datetime64[ns]")
+        elif pd.api.types.is_integer_dtype(df[c].dtype):
+            df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
@@ -76,9 +83,21 @@ def main() -> None:
             print(f"FAIL {name}: rowcount {len(got)} vs {len(exp)}")
             continue
         g, e = norm(got), norm(exp)
+        # the driver hashes canonicalized VALUES — int64 5 vs float64 5.0
+        # hash differently, so pandas dtypes must agree exactly (DuckDB
+        # HUGEINT sums surface as float64: cast them to BIGINT in the SQL)
+        dt_bad = [
+            (c, str(g[c].dtype), str(e[c].dtype))
+            for c in g.columns
+            if g[c].dtype != e[c].dtype
+        ]
+        if dt_bad:
+            failures.append((name, f"dtypes {dt_bad}"))
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
+            continue
         try:
             pd.testing.assert_frame_equal(
-                g, e, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+                g, e, check_dtype=True, check_exact=True
             )
             print(f"PASS {name} ({len(got)} rows)")
         except AssertionError as err:

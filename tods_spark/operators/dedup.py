@@ -30,6 +30,35 @@ from pyspark.sql import DataFrame, functions as F
 from tods_spark.operators.text import words
 
 
+def md5_h64(col, seed: int | None = None):
+    """Portable 60-bit hash both engines compute identically: the first 15
+    hex chars of md5 parsed base-16. Spark: conv(substr(md5, 1, 15), 16, 10);
+    DuckDB: ('0x' || substr(md5, 1, 15))::BIGINT. 60 bits keeps the value
+    positive in a signed long (no sign-dependent `%`/shift hazards) while
+    collision odds stay ~2^-60. Seeded variant prefixes "{seed}:"."""
+    inp = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(inp), 1, 15), 16, 10).cast("long")
+
+
+def md5_h64_sql(expr: str, seed: int | None = None) -> str:
+    """DuckDB twin of md5_h64 — same bytes, same value."""
+    inp = expr if seed is None else f"concat('{seed}:', {expr})"
+    return f"('0x' || substr(md5({inp}), 1, 15))::BIGINT"
+
+
+def chunk_layout(n_bits: int, chunks: int) -> list[tuple[int, int]]:
+    """(offset, width) per pigeonhole chunk, covering ALL n_bits: the first
+    n_bits % chunks chunks get an extra bit. Shared by the Spark plan and
+    the generated oracle SQL so both split signatures identically."""
+    base, rem = divmod(n_bits, chunks)
+    layout, off = [], 0
+    for i in range(chunks):
+        w = base + (1 if i < rem else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
                      col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct text with the keeper

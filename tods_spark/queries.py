@@ -456,28 +456,33 @@ def topk_per_type(spark, sf_dir):
     "contamination_threshold",
     """
 WITH th AS (
-  SELECT event_type, quantile_cont(value, 0.9) AS t
+  SELECT event_type, round(quantile_cont(value, 0.9) + 1e-9, 4) AS t
   FROM events GROUP BY 1
 )
 SELECT e.event_type,
-       round(any_value(t) + 1e-9, 4) AS threshold,
-       sum(CASE WHEN e.value > t THEN 1 ELSE 0 END) AS n_anomalies
+       any_value(t) AS threshold,
+       CAST(sum(CASE WHEN e.value > t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
 FROM events e JOIN th ON e.event_type = th.event_type
 GROUP BY 1
 """,
 )
 def contamination_threshold(spark, sf_dir):
     """threshold = percentile(scores, 1-contamination); label = score > t
-    (CollectiveBase.py:329-345, contamination=0.1)."""
+    (CollectiveBase.py:329-345, contamination=0.1). Both engines compare
+    against the ROUNDED threshold — Spark `percentile` and DuckDB
+    `quantile_cont` can differ by 1 ulp, which flips counts for values
+    sitting exactly on the boundary. DuckDB's integer sum is HUGEINT
+    (float64 in pandas) — cast to BIGINT so value hashes agree."""
     ev = _events(spark, sf_dir)
     th = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.9)).alias("t")
+        _r4(F.percentile("value", F.lit(0.9))).alias("t")
     )
     return (
         ev.join(F.broadcast(th), "event_type")
         .groupBy("event_type")
         .agg(
-            _r4(F.first("t")).alias("threshold"),
+            F.first("t").alias("threshold"),
             F.sum(F.when(F.col("value") > F.col("t"), 1).otherwise(0)).alias(
                 "n_anomalies"
             ),
@@ -694,37 +699,38 @@ WITH o AS (
   FROM events
 )
 SELECT f.fold,
-       sum(CASE WHEN rn < (f.fold + 1) * (n // 6) THEN 1 ELSE 0 END) AS n_train,
-       sum(CASE WHEN rn >= (f.fold + 1) * (n // 6)
-                 AND rn < (f.fold + 2) * (n // 6) THEN 1 ELSE 0 END) AS n_test
+       CAST(sum(CASE WHEN rn < (f.fold + 1) * (n // 6)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN rn >= (f.fold + 1) * (n // 6)
+                 AND rn < (f.fold + 2) * (n // 6)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_test
 FROM o, (SELECT unnest(range(5)) AS fold) f
 GROUP BY 1
 """,
 )
 def timeseries_split_5fold(spark, sf_dir):
-    """TimeSeriesSplit fold sizes: fold i trains on the first (i+1)·n/(k+1)
-    time-ordered rows, tests on the next n/(k+1)."""
+    """TimeSeriesSplit fold sizes: fold i trains on the first (i+1)·(n//6)
+    time-ordered rows, tests on the next n//6 (KFoldSplitTimeseries.py:82,
+    167-169 — sklearn TimeSeriesSplit with default test_size).
+
+    Spark-first scale note: fold SIZES are a pure function of n — counting
+    rank-below-boundary over an enumeration 0..n-1 is min(boundary, n), and
+    every boundary here is ≤ n. So the engine side is ONE count aggregate +
+    arithmetic: no global-sort row_number (a single-partition scale-killer),
+    no crossJoin. The oracle keeps the literal rank-and-count formulation,
+    proving the arithmetic matches the row-level definition. Integer fold
+    math (`n // 6` ≡ floor) on both sides; BIGINT casts because DuckDB
+    integer sums surface as HUGEINT→float64 in pandas."""
     ev = _events(spark, sf_dir)
-    w = Window.orderBy("ts", "event_id")
-    o = ev.select((F.row_number().over(w) - 1).alias("rn")).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
-    )
-    folds = spark.range(5).select(F.col("id").cast("int").alias("fold"))
-    chunk = (F.col("n") / 6).cast("long")
+    n_df = ev.agg(F.count(F.lit(1)).alias("n"))
+    folds = spark.range(5).select(F.col("id").alias("fold"))
+    chunk = F.floor(F.col("n") / F.lit(6)).cast("long")
     return (
-        o.crossJoin(F.broadcast(folds))
-        .groupBy("fold")
-        .agg(
-            F.sum(
-                F.when(F.col("rn") < (F.col("fold") + 1) * chunk, 1).otherwise(0)
-            ).alias("n_train"),
-            F.sum(
-                F.when(
-                    (F.col("rn") >= (F.col("fold") + 1) * chunk)
-                    & (F.col("rn") < (F.col("fold") + 2) * chunk),
-                    1,
-                ).otherwise(0)
-            ).alias("n_test"),
+        folds.crossJoin(F.broadcast(n_df))
+        .select(
+            "fold",
+            ((F.col("fold") + 1) * chunk).alias("n_train"),
+            chunk.alias("n_test"),
         )
     )
 
@@ -1007,8 +1013,14 @@ def media_metadata(spark, sf_dir):
 
 @register("media_features")  # rows-only: decode stub is engine-side
 def media_features(spark, sf_dir):
+    """Exploded to (doc_id, feature_idx, value) scalars: the driver's
+    canonicalizer sorts cell values and cannot order array<float> cells
+    (round-1 err: `unhashable type: 'list'`)."""
     m = MM.attach_fake_media(_docs(spark, sf_dir))
-    return MM.extract_features(m, n_features=16)
+    feats = MM.extract_features(m, n_features=16)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("feature_idx", "value")
+    ).select("doc_id", "feature_idx", _r4(F.col("value").cast("double")).alias("value"))
 
 
 # --------------------------------------------------------------------------
