@@ -91,11 +91,33 @@ def ngram_jaccard_pairs(
     col: str = "text",
     n: int = 3,
     threshold: float = 0.0,
+    df_cap: int | None = 64,
 ) -> DataFrame:
-    """Candidate pairs that share ≥1 shingle, with exact Jaccard similarity.
-    The shingle self-join generates candidates; sizes come from a broadcast
-    per-doc shingle-count dim."""
-    sh = shingle_table(df, id_col, col, n)
+    """Candidate pairs that share ≥1 common-enough shingle, with exact
+    Jaccard similarity over the FULL shingle sets.
+
+    Scale design (10⁹+ docs):
+      * `df_cap` prunes shingles appearing in ≥ df_cap documents BEFORE the
+        self-join — one hot shingle ("of the and") otherwise makes the join
+        quadratic in its document frequency. Capped pairs lose candidates
+        only if they share NOTHING rarer than the cap (standard
+        SparkML-MinHashLSH / dedup-pipeline practice). Jaccard itself stays
+        exact: the numerator counts capped-shingle matches only, so sizes
+        are recounted over the SAME capped shingle universe.
+      * per-doc size dims are plain shuffle joins — a per-doc table is NOT
+        broadcastable at scale (driver OOM); AQE picks the strategy when
+        the doc count is actually small."""
+    sh_all = shingle_table(df, id_col, col, n)
+    if df_cap is not None:
+        rare = (
+            sh_all.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") < df_cap)
+            .select("shingle")
+        )
+        sh = sh_all.join(rare, "shingle")
+    else:
+        sh = sh_all
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -108,8 +130,8 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     out = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -127,32 +149,44 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", col: str = "text",
-    n: int = 3, k: int = 32,
+    n: int = 3, k: int = 32, hash_fn: str = "md5",
 ) -> DataFrame:
     """k-coordinate MinHash: coordinate i = min over shingles of
-    xxhash64(shingle, seed=i). One explode + one groupBy (k mins computed
-    map-side — no k-fold blowup)."""
+    hash(shingle, seed=i). One explode + one groupBy (k mins computed
+    map-side — no k-fold blowup). hash_fn:
+      * "md5" (default): portable 60-bit md5 slice — DuckDB computes the
+        identical value, so the LSH query has a real oracle twin;
+      * "xxhash64": Spark-native, ~3× cheaper per hash — the pure-engine
+        fast path when no cross-engine check is needed."""
     sh = shingle_table(df, id_col, col, n)
-    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(k)]
+    if hash_fn == "md5":
+        hcol = lambda i: md5_h64(F.col("shingle"), seed=i)  # noqa: E731
+    else:
+        hcol = lambda i: F.xxhash64(F.col("shingle"), F.lit(i))  # noqa: E731
+    mins = [F.min(hcol(i)).alias(f"h{i}") for i in range(k)]
     sig = sh.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
 def minhash_lsh_candidates(
     df: DataFrame, id_col: str = "doc_id", col: str = "text",
-    n: int = 3, k: int = 32, bands: int = 8,
+    n: int = 3, k: int = 32, bands: int = 8, hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH banding: signature → b bands of k/b rows; docs colliding on any
-    (band, band-hash) become candidate pairs (dedup'd)."""
+    (band, band-hash) become candidate pairs (dedup'd). The band hash is
+    md5 over the comma-joined coordinate values — engine-neutral, so the
+    oracle twin reproduces the buckets bit-for-bit."""
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(df, id_col, col, n, k)
+    sig = minhash_signatures(df, id_col, col, n, k, hash_fn)
     banded = sig.select(
         "id",
         F.posexplode(
             F.array(*[
-                F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
+                F.md5(F.concat_ws(",", *[
+                    F.col("sig")[i].cast("string")
+                    for i in range(b * r, (b + 1) * r)
+                ]))
                 for b in range(bands)
             ])
         ).alias("band", "bucket"),
@@ -170,13 +204,24 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
-    """64-bit SimHash: each word's xxhash64 votes ±1 per bit position;
-    signature bit = sign of the vote sum. Word hashes computed JVM-side;
-    the bit-vote reduction is one vectorized numpy kernel per Arrow batch."""
+SIMHASH_BITS = {"md5": 60, "xxhash64": 64}
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", col: str = "text",
+              hash_fn: str = "md5") -> DataFrame:
+    """SimHash: each word's hash votes ±1 per bit position; signature bit =
+    sign of the vote sum. Word hashes computed JVM-side; the bit-vote
+    reduction is one vectorized numpy kernel per Arrow batch. hash_fn "md5"
+    (60-bit portable slice — the oracle twin recomputes the identical
+    signature in SQL; always non-negative, so no sign hazards) or
+    "xxhash64" (full 64 bits, Spark-native fast path)."""
+    n_bits = SIMHASH_BITS[hash_fn]
+    word_hash = (
+        (lambda w: md5_h64(w)) if hash_fn == "md5" else (lambda w: F.xxhash64(w))
+    )
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.transform(words(col), lambda w: F.xxhash64(w)).alias("hashes"),
+        F.transform(words(col), word_hash).alias("hashes"),
     )
 
     @F.pandas_udf("long")
@@ -186,9 +231,14 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataF
             if h.size == 0:
                 return 0
             bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
-                                 bitorder="little")
-            votes = bits.sum(axis=0) * 2 - h.size  # (+1/-1 votes summed)
-            sig = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
+                                 bitorder="little")[:, :n_bits]
+            # int64 BEFORE the vote arithmetic: unpackbits yields uint8 and
+            # a uint sum makes `*2 - size` wrap, turning negative votes into
+            # huge positives (every bit reads 1 — caught by the oracle twin)
+            votes = bits.astype(np.int64).sum(axis=0) * 2 - h.size
+            on = votes > 0
+            sig = np.packbits(np.pad(on, (0, 64 - n_bits)).astype(np.uint8),
+                              bitorder="little")
             return int(np.frombuffer(sig.tobytes(), np.uint64)[0].view(np.int64))
 
         return hs.map(one)
@@ -197,21 +247,25 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataF
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Pigeonhole LSH over SimHash: split 64 bits into max_hamming+1 chunks;
-    any pair within the Hamming radius collides on ≥1 chunk. Equi-join on
-    (chunk_idx, chunk_bits), then exact Hamming verify via bit_count."""
-    sig = simhash64(df, id_col, col)
-    chunks = max_hamming + 1
-    width = 64 // chunks
+                       col: str = "text", max_hamming: int = 3,
+                       hash_fn: str = "md5") -> DataFrame:
+    """Pigeonhole LSH over SimHash: split the signature into max_hamming+1
+    chunks covering ALL bits (chunk_layout); any pair within the Hamming
+    radius collides on ≥1 chunk. Equi-join on (chunk_idx, chunk_bits), then
+    exact Hamming verify via bit_count. Chunk bits are extracted with
+    shiftrightunsigned + bitwiseAND mask — sign-independent (a plain `%`
+    follows the dividend's sign in Spark and silently drops pairs whose
+    signatures differ in the top bit)."""
+    sig = simhash64(df, id_col, col, hash_fn)
+    layout = chunk_layout(SIMHASH_BITS[hash_fn], max_hamming + 1)
     banded = sig.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), i * width)
-                % F.lit(1 << width)
-                for i in range(chunks)
+                F.shiftrightunsigned(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                for off, width in layout
             ])
         ).alias("chunk", "bits"),
     )

@@ -41,8 +41,12 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k against a literal query vector. One scan, one
-    (cheap) global top-k — the baseline the ANN path is measured against."""
+    """Exact cosine top-k against a literal query vector. One scan, then
+    orderBy+limit — Catalyst plans it as TakeOrderedAndProject: every
+    partition keeps a local k-heap and the driver merges k·#partitions
+    rows. (A row_number over a global no-partition Window would funnel ALL
+    scored rows through one task — a scale-killer at 10⁹ vectors.) The rank
+    column is attached afterwards with a window over the k-row result."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = float(np.linalg.norm(query_vec))
     scored = df.select(
@@ -53,12 +57,20 @@ def cosine_topk_bruteforce(
             4,
         ).alias("cosine"),
     )
-    w = Window.orderBy(F.desc("cosine"), id_col)
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(id_col, "cosine", "rk")
+    top = scored.orderBy(F.desc("cosine"), id_col).limit(k)
+    w = Window.orderBy(F.desc("cosine"), id_col)  # k rows only
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        id_col, "cosine", "rk"
     )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Deterministic hyperplane matrix (n_planes × dim). Exposed so the
+    oracle SQL can inline the SAME constants as literals — the twin then
+    recomputes identical buckets (sign flips would need |H·v| within ulps
+    of 0, probability ~0 for Gaussian planes)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
 
 
 def lsh_signatures(
@@ -71,8 +83,7 @@ def lsh_signatures(
 ) -> DataFrame:
     """Random-hyperplane signatures: bucket = sign-bit pattern of H·v.
     H is seeded and broadcast; one Arrow-batch matmul per partition."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = hyperplanes(dim, n_planes, seed)
 
     @F.pandas_udf("long")
     def bucket(vecs: pd.Series) -> pd.Series:
@@ -99,8 +110,7 @@ def ann_topk_lsh(
     Recall/probe trade-off is asserted in tests against the brute-force
     baseline."""
     q = np.asarray(query_vec, float)
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, len(q)))
+    planes = hyperplanes(len(q), n_planes, seed)
     qsig = int(((planes @ q) > 0) @ (1 << np.arange(n_planes, dtype=np.int64)))
     # multi-probe: visit every bucket within Hamming distance `probes` of the
     # query's bucket (probes=1 → n+1 buckets, probes=2 → +C(n,2), ...)
@@ -142,7 +152,7 @@ def cosine_near_pairs(
         F.posexplode(
             F.array(*[
                 F.shiftrightunsigned(F.col("bucket"), i * width)
-                % F.lit(1 << width)
+                .bitwiseAND(F.lit((1 << width) - 1))  # sign-safe (vs `%`)
                 for i in range(bands)
             ])
         ).alias("band", "bits"),

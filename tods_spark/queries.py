@@ -863,20 +863,26 @@ def dedup_exact_groups(spark, sf_dir):
     return DD.exact_dup_groups(_docs(spark, sf_dir))
 
 
-@register(
-    "ngram_jaccard_pairs",
-    rf"""
-WITH docs_w AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+# distinct word-3-gram shingles per doc (DuckDB side of shingle_table)
+_SHINGLE_SQL = rf"""docs_w AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
 sh AS (
   SELECT doc_id AS id,
          unnest(list_distinct(list_transform(range(greatest(len(w)-3, 0) + 1),
                 i -> array_to_string(list_slice(w, i+1, i+3), ' ')))) AS shingle
   FROM docs_w
-),
-sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+)"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    rf"""
+WITH {_SHINGLE_SQL},
+rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) < 64),
+shc AS (SELECT id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+sz AS (SELECT id, count(*) AS sz FROM shc GROUP BY 1),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
@@ -888,17 +894,98 @@ WHERE inter / (sa.sz + sb.sz - inter) + 1e-9 >= 0.02
 """,
 )
 def ngram_jaccard_pairs_q(spark, sf_dir):
-    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.02)
+    """Shingle-join Jaccard with the document-frequency cap (64) mirrored in
+    the oracle — the cap is part of the operator's scale contract, not a
+    test shortcut."""
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.02, df_cap=64)
 
 
-@register("minhash_lsh_candidates")  # rows-only: xxhash64 is Spark-specific
+def _minhash_sql(k: int = 16, bands: int = 8) -> str:
+    """DuckDB twin of minhash_lsh_candidates: identical 60-bit md5-slice
+    coordinate hashes, identical md5 band buckets."""
+    r = k // bands
+    mins = ",\n         ".join(
+        f"min({DD.md5_h64_sql('shingle', seed=i)}) AS h{i}" for i in range(k)
+    )
+    cases = "\n           ".join(
+        "WHEN {b} THEN md5(concat_ws(',', {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(h{i} AS VARCHAR)" for i in range(b * r, (b + 1) * r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH {_SHINGLE_SQL},
+sig AS (
+  SELECT id,
+         {mins}
+  FROM sh GROUP BY 1
+),
+banded AS (
+  SELECT id, t.band,
+         CASE t.band
+           {cases}
+         END AS bucket
+  FROM sig, (SELECT unnest(range({bands})) AS band) t
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+"""
+
+
+@register("minhash_lsh_candidates", _minhash_sql(k=16, bands=8))
 def minhash_lsh_candidates_q(spark, sf_dir):
-    return DD.minhash_lsh_candidates(_docs(spark, sf_dir), k=16, bands=8)
+    return DD.minhash_lsh_candidates(_docs(spark, sf_dir), k=16, bands=8,
+                                     hash_fn="md5")
 
 
-@register("simhash_near_pairs")  # rows-only: xxhash64 is Spark-specific
+def _simhash_sql(max_hamming: int = 16) -> str:
+    """DuckDB twin of simhash_near_pairs: identical 60-bit word hashes →
+    identical bit votes → identical signatures, chunked with the SAME
+    chunk_layout as the Spark plan."""
+    layout = DD.chunk_layout(60, max_hamming + 1)
+    cases = "\n           ".join(
+        f"WHEN {i} THEN (simhash >> {off}) & {(1 << w) - 1}"
+        for i, (off, w) in enumerate(layout)
+    )
+    return rf"""
+WITH docs_w AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+wh AS (SELECT doc_id AS id, {DD.md5_h64_sql('unnest(w)')} AS h FROM docs_w),
+votes AS (
+  SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM wh, (SELECT unnest(range(60)) AS b) t GROUP BY 1, 2
+),
+sig AS (
+  SELECT id,
+         CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY 1
+),
+banded AS (
+  SELECT id, simhash, t.chunk,
+         CASE t.chunk
+           {cases}
+         END AS bits
+  FROM sig, (SELECT unnest(range({max_hamming + 1})) AS chunk) t
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a
+  JOIN banded b ON a.chunk = b.chunk AND a.bits = b.bits AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+@register("simhash_near_pairs", _simhash_sql(max_hamming=16))
 def simhash_near_pairs_q(spark, sf_dir):
-    return DD.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16)
+    return DD.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16,
+                                 hash_fn="md5")
 
 
 # --------------------------------------------------------------------------
@@ -932,24 +1019,126 @@ SELECT vec_id, cosine, rk FROM r WHERE rk <= 5
 )
 def ann_cosine_top5(spark, sf_dir):
     emb = _emb(spark, sf_dir)
+    # .first() here is a bounded single-row lookup of the query vector —
+    # fine on the driver; do NOT copy this pattern into non-lookup paths.
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = SIM.cosine_topk_bruteforce(emb, qvec, k=5)
-    # rank on the ROUNDED cosine so both engines break near-ties identically
-    w = Window.orderBy(F.desc("cosine"), "vec_id")
-    return (
-        out.drop("rk").withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
+    return SIM.cosine_topk_bruteforce(emb, qvec, k=5)
+
+
+# EMB_DIM is a property of the driver's embeddings table (TESTDATA.md);
+# the oracle SQL inlines hyperplane constants, so it is fixed per schema.
+_EMB_DIM = 64
+
+
+def _planes_sql(planes) -> str:
+    rows = ",\n         ".join(
+        "({i}, [{v}])".format(i=i, v=", ".join(repr(float(x)) for x in row))
+        for i, row in enumerate(planes)
     )
+    return rows
 
 
-@register("ann_topk_lsh")  # rows-only: hyperplane RNG is engine-side
+def _ann_lsh_sql(n_planes: int = 10, k: int = 5, seed: int = 7) -> str:
+    """DuckDB twin of ann_topk_lsh: the SAME seeded hyperplanes inlined as
+    literals, signature = sign-bit pattern of H·v (float64 on both sides —
+    identical products, sign flips need |dot| within ulps of 0), multi-probe
+    buckets at Hamming ≤ 1, then exact cosine top-k over candidates."""
+    planes = SIM.hyperplanes(_EMB_DIM, n_planes, seed)
+    return f"""
+WITH planes(pid, p) AS (
+  VALUES {_planes_sql(planes)}
+),
+sig AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                             pl.p) > 0
+                       THEN (1::BIGINT << pl.pid) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM embeddings e, planes pl GROUP BY 1
+),
+qs AS (SELECT bucket AS qsig FROM sig WHERE vec_id = 0),
+probes AS (
+  SELECT DISTINCT xor(qsig, CASE WHEN j = {n_planes} THEN 0::BIGINT
+                                 ELSE (1::BIGINT << j) END) AS b
+  FROM qs, (SELECT unnest(range({n_planes + 1})) AS j) t
+),
+q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+z AS (
+  SELECT s.vec_id, unnest(emb.embedding) AS x, unnest((SELECT e FROM q)) AS y
+  FROM sig s JOIN embeddings emb ON emb.vec_id = s.vec_id
+  WHERE s.bucket IN (SELECT b FROM probes)
+),
+s AS (
+  SELECT vec_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+         sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+  FROM z GROUP BY 1
+),
+r AS (
+  SELECT vec_id, round(dot / (na * nb) + 1e-9, 4) AS cosine,
+         row_number() OVER (ORDER BY round(dot / (na * nb) + 1e-9, 4) DESC,
+                            vec_id) AS rk
+  FROM s
+)
+SELECT vec_id, cosine, rk FROM r WHERE rk <= {k}
+"""
+
+
+@register("ann_topk_lsh", _ann_lsh_sql(n_planes=10, k=5))
 def ann_topk_lsh_q(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.ann_topk_lsh(emb, qvec, k=5, n_planes=10)
 
 
-@register("embedding_cosine_near_pairs")  # rows-only (LSH buckets)
+def _near_pairs_sql(n_planes: int = 8, bands: int = 2,
+                    threshold: float = 0.3, seed: int = 7) -> str:
+    """DuckDB twin of cosine_near_pairs: same planes, same banded buckets,
+    same exact-cosine verify ≥ threshold (on the rounded value)."""
+    planes = SIM.hyperplanes(_EMB_DIM, n_planes, seed)
+    width = n_planes // bands
+    return f"""
+WITH planes(pid, p) AS (
+  VALUES {_planes_sql(planes)}
+),
+sig AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                             pl.p) > 0
+                       THEN (1::BIGINT << pl.pid) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM embeddings e, planes pl GROUP BY 1
+),
+banded AS (
+  SELECT vec_id, t.band,
+         (bucket >> (t.band * {width})) & {(1 << width) - 1} AS bits
+  FROM sig, (SELECT unnest(range({bands})) AS band) t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id
+),
+z AS (
+  SELECT c.id_a, c.id_b, unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+),
+s AS (
+  SELECT id_a, id_b,
+         round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) + 1e-9, 4)
+           AS cosine
+  FROM z GROUP BY 1, 2
+)
+SELECT id_a, id_b, cosine FROM s WHERE cosine >= {threshold}
+"""
+
+
+@register("embedding_cosine_near_pairs", _near_pairs_sql())
 def embedding_cosine_near_pairs_q(spark, sf_dir):
     return SIM.cosine_near_pairs(_emb(spark, sf_dir), threshold=0.3, n_planes=8, bands=2)
 
