@@ -79,6 +79,26 @@ def main() -> None:
     # 6. AQE enabled
     check("AQE on", spark.conf.get("spark.sql.adaptive.enabled") == "true")
 
+    # 7. ANN top-k is a parallel partial top-k (TakeOrderedAndProject),
+    #    never a global single-partition Window over all scored rows
+    plan = QUERIES["ann_cosine_top5"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    check("ann top-k plans TakeOrderedAndProject",
+          "TakeOrderedAndProject" in plan)
+    check("ann top-k has no single-partition exchange before the limit",
+          "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0])
+
+    # 8. jaccard self-join: no BROADCAST HINT on the per-doc sizes dim (AQE
+    #    may still choose broadcast at tiny SF — the hint is the scale bug).
+    #    The optimized logical plan records hints explicitly.
+    logical = QUERIES["ngram_jaccard_pairs"](spark, SF)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    check("jaccard has no explicit broadcast hint on doc-cardinality dims",
+          "UnresolvedHint" not in logical and "hints=[broadcast]" not in logical)
+
+    # 9. split query needs no global Window (fold sizes are arithmetic on n)
+    plan = QUERIES["timeseries_split_5fold"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    check("timeseries split has no Window operator", "Window" not in plan)
+
     bad = [n for n, ok in checks if not ok]
     print(f"\n{len(checks) - len(bad)}/{len(checks)} plan checks pass")
     if bad:

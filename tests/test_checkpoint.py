@@ -43,9 +43,15 @@ def test_resume_skips_done_partitions(spark, tmp_path):
     # partition overwrite is idempotent: table state identical
     assert out.read().count() == rows_after_first
 
-    # lineage records carry row counts per partition
+    # lineage records carry PER-PARTITION metrics: rows_out sums to the
+    # table total, rows_in sums to the input total, and fingerprints are
+    # partition-specific (distinct across partitions with distinct data)
     recs = [r for r in ckpt.records() if r["job_id"] == "j1"]
     assert sum(r["rows_out"] for r in recs) == rows_after_first
+    assert sum(r["rows_in"] for r in recs) == raw.count()
+    assert all(r["rows_out"] > 0 for r in recs)
+    fps = [r["fingerprint"] for r in recs]
+    assert len(set(fps)) == len(fps) and all(fps)
     raw.unpersist()
 
 

@@ -48,6 +48,22 @@ def test_hp_filter_properties():
     np.testing.assert_allclose(c2, y2 - t_exact, rtol=1e-7, atol=1e-8)
 
 
+def test_hp_filter_tiny_series_vs_dense():
+    # n == 3 and n == 4 hit every banded-matrix edge case (at n == 3,
+    # main[1] and main[-2] are the SAME element — regression for the
+    # double-increment bug that made the diagonal 1+8λ instead of 1+4λ)
+    for n, lamb in [(3, 1600.0), (3, 2.0), (4, 1600.0), (5, 10.0)]:
+        rng = np.random.default_rng(n)
+        y = np.cumsum(rng.normal(0, 1, n))
+        _, trend = FL.hp_filter(y, lamb)
+        D = np.zeros((n - 2, n))
+        for i in range(n - 2):
+            D[i, i], D[i, i + 1], D[i, i + 2] = 1.0, -2.0, 1.0
+        A = np.eye(n) + lamb * D.T @ D
+        np.testing.assert_allclose(trend, np.linalg.solve(A, y),
+                                   rtol=1e-9, atol=1e-9)
+
+
 def test_yeo_johnson_gaussianizes():
     rng = np.random.default_rng(7)
     x = rng.exponential(2.0, 2000)  # heavily right-skewed

@@ -128,7 +128,7 @@ def test_partial_digest_rollup_equivalent(spark):
     n = 3000
     raw = token_table(spark, n, partitions=6)
     a = (
-        full_cascade(raw, with_digest=True)["1m"]
+        full_cascade(raw, with_digest=True, digest_mode="collect")["1m"]
         .orderBy("source", "window_start")
         .toPandas()
     )

@@ -67,7 +67,8 @@ def hp_filter(y: np.ndarray, lamb: float = 1600.0) -> tuple[np.ndarray, np.ndarr
     main[0] += lamb
     main[-1] += lamb
     main[1] += 5 * lamb if n > 3 else 4 * lamb
-    main[-2] += 5 * lamb if n > 3 else 4 * lamb
+    if n > 3:  # at n == 3, main[-2] IS main[1] — incrementing twice
+        main[-2] += 5 * lamb  # would give 1+8λ instead of the correct 1+4λ
     main[2:-2] += 6 * lamb
     off1 = np.full(n - 1, 0.0)
     off1[0] = -2 * lamb

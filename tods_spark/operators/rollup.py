@@ -242,9 +242,22 @@ def full_cascade(
     keys: tuple[str, ...] = ("source",),
     value_col: str = "n_tok",
     with_digest: bool = False,
+    digest_mode: str = "partial",
 ) -> dict[str, DataFrame]:
-    """Run raw → 1m → 1h → 1d; returns {tier: DataFrame}."""
-    t1m = rollup_raw(raw, "1m", value_col=value_col, keys=keys, with_digest=with_digest)
+    """Run raw → 1m → 1h → 1d; returns {tier: DataFrame}.
+
+    digest_mode (when with_digest):
+      * "partial" (default) — map-side partial digests; the raw→1m shuffle
+        ships O(#batches × windows) digest rows, not O(rows) raw values.
+        The only choice that survives 10^12-row inputs.
+      * "collect" — collect_list of raw values per window, digest built
+        after the shuffle; kept as the equivalence baseline for tests.
+    """
+    if with_digest and digest_mode == "partial":
+        t1m = rollup_raw_partial_digest(raw, "1m", value_col=value_col, keys=keys)
+    else:
+        t1m = rollup_raw(raw, "1m", value_col=value_col, keys=keys,
+                         with_digest=with_digest)
     t1h = rollup_cascade(t1m, "1m", "1h", keys=keys)
     t1d = rollup_cascade(t1h, "1h", "1d", keys=keys)
     return {"1m": t1m, "1h": t1h, "1d": t1d}

@@ -23,7 +23,11 @@ from datetime import datetime
 from pyspark.sql import SparkSession, functions as F
 
 from tods_spark.operators import compression
-from tods_spark.operators.rollup import rollup_cascade, rollup_raw
+from tods_spark.operators.rollup import (
+    rollup_cascade,
+    rollup_raw,
+    rollup_raw_partial_digest,
+)
 from tods_spark.plans.checkpoint import CheckpointLog, run_tier
 from tods_spark.plans.retention import DEFAULT_HORIZON_DAYS, expire_partitions
 from tods_spark.sources.storage import PartitionedTable
@@ -61,12 +65,20 @@ def run_engine(
             keys=keys, order_col="doc_id",
         )
 
+    # digest path: map-side partials by default — the collect_list variant
+    # ships every raw value through the raw→1m shuffle (O(rows)); partials
+    # ship O(#batches × windows) digest rows. See rollup.full_cascade.
+    if with_digest:
+        raw_to_1m = lambda df: rollup_raw_partial_digest(  # noqa: E731
+            df, "1m", value_col=value_col, keys=keys
+        )
+    else:
+        raw_to_1m = lambda df: rollup_raw(  # noqa: E731
+            df, "1m", value_col=value_col, keys=keys, with_digest=False
+        )
     t1m_table = PartitionedTable(spark, f"{base_dir}/tier_1m", ["part_key"])
     report["1m"] = run_tier(
-        spark, raw_df,
-        lambda df: rollup_raw(df, "1m", value_col=value_col, keys=keys,
-                              with_digest=with_digest),
-        t1m_table, ckpt, job_id, "1m", in_ts_col="ts",
+        spark, raw_df, raw_to_1m, t1m_table, ckpt, job_id, "1m", in_ts_col="ts",
     )
 
     t1m = t1m_table.read()

@@ -11,8 +11,11 @@ Design:
   * work is partitioned by a coarse PARTITION KEY (default: the day of the
     tier window) — the unit of skip/recompute;
   * the checkpoint table holds one JSON-lines record per (job_id, tier,
-    partition): rows_in, rows_out, fingerprint (xxhash64-xor of the output
-    rows — order-insensitive), status, wall seconds;
+    partition), each carrying THAT partition's rows_in, rows_out and
+    fingerprint (order-insensitive xxhash64 sum of the partition's written
+    rows — computed from a read-back of the written bytes, so resume-time
+    drift in any single partition is detectable), plus status and wall
+    seconds;
   * `run_tier` lists partitions already 'done' for (job_id, tier), filters
     them OUT of the input (partition pruning — the filter lands on the
     parquet scan), computes the rest, writes results with dynamic partition
@@ -64,17 +67,29 @@ class CheckpointLog:
             os.fsync(f.fileno())
 
 
-def _fingerprint(df: DataFrame) -> int:
-    """Order-insensitive 64-bit fingerprint of a DataFrame: xor-ish (sum mod
-    2^64) of per-row xxhash64 over all columns. One extra agg job, no
-    collect of data rows."""
-    row = df.select(
-        F.sum(
-            F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
-        ).alias("fp"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    return int(int(row["fp"] or 0) & ((1 << 63) - 1)), int(row["n"])
+def _per_partition_stats(df: DataFrame, partition_col: str) -> dict:
+    """Per-partition (rows, fingerprint): fingerprint is the order-
+    insensitive sum (mod 2^63) of per-row xxhash64 over the data columns —
+    ONE groupBy job, no collect of data rows, one tiny row per partition.
+    Per-partition (not whole-result) lineage is what lets resume detect
+    drift in a single recomputed partition."""
+    data_cols = [c for c in df.columns if c != partition_col]
+    rows = (
+        df.groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in data_cols]).cast("decimal(38,0)")
+            ).alias("fp"),
+        )
+        .collect()
+    )
+    # str() the key: partition values read back from directory paths are
+    # type-inferred (yyyy-MM-dd → DATE) while todo keys are strings
+    return {
+        str(r[partition_col]): (int(r["n"]), int(int(r["fp"] or 0) & ((1 << 63) - 1)))
+        for r in rows
+    }
 
 
 def run_tier(
@@ -113,25 +128,31 @@ def run_tier(
         run_id = uuid.uuid4().hex[:12]
         # partition-pruned input: the IN filter pushes to the scan
         pending = inp.filter(F.col(partition_col).isin(todo))
-        rows_in = pending.count()
+        # per-partition input row counts (lineage contract: each checkpoint
+        # record carries ITS partition's metrics, not run-wide totals)
+        rows_in = {
+            r[partition_col]: int(r["n"])
+            for r in pending.groupBy(partition_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         t0 = time.time()
         result = compute(pending.drop(partition_col)).withColumn(
             partition_col, out_expr
         )
-        result = result.cache()
-        fp, rows_out = _fingerprint(result)
         out_table.overwrite_partitions(result)
         wall = time.time() - t0
-        per_part = (
-            result.groupBy(partition_col).count().collect()
-        )
-        result.unpersist()
-        counts = {r[partition_col]: r["count"] for r in per_part}
+        # stats from the WRITTEN bytes (read-back), not a recompute or a
+        # .cache(): what's fingerprinted is exactly what resume would see
+        # (and MemoryStore persists anti-scale on fault-convoy kernels)
+        written = out_table.read().filter(F.col(partition_col).isin(todo))
+        stats = _per_partition_stats(written, partition_col)
         for p in todo:
+            n_out, fp = stats.get(p, (0, 0))
             ckpt.mark(
                 job_id=job_id, tier=tier, partition=p, run_id=run_id,
-                rows_in=rows_in, rows_out=int(counts.get(p, 0)),
+                rows_in=int(rows_in.get(p, 0)), rows_out=n_out,
                 fingerprint=fp, status="done", wall_s=round(wall, 3),
             )
-        rows_out_total = rows_out
+            rows_out_total += n_out
     return {"computed": todo, "skipped": skipped, "rows_out": rows_out_total}
