@@ -94,3 +94,91 @@ def test_stat_window_partitioned_by_key(spark):
         expect = oracle.stat_window(g["value"].to_numpy(), "mean", 4)
         got = out[out.k == k].sort_values("idx")["value_mean"].to_numpy()
         np.testing.assert_allclose(got, expect, rtol=1e-9)
+
+
+def test_system_wise_voting_golden(spark):
+    """Majority-voting reduction vs a literal numpy replay of
+    SystemWiseDetection.py:376-415 (pad-to-longest, trailing |sum| windows,
+    vote to argmax per step, order-statistic threshold)."""
+    import numpy as np
+    import pandas as pd
+
+    from tods_spark.operators.detection import system_wise_voting
+
+    rng = np.random.default_rng(11)
+    series = {"s1": rng.normal(0, 1, 40), "s2": rng.normal(0, 3, 35),
+              "s3": rng.normal(0, 1, 38)}
+    pdf = pd.concat([
+        pd.DataFrame({"system_id": k, "timestamp": range(len(v)), "score": v})
+        for k, v in series.items()
+    ], ignore_index=True)
+    w, c = 4, 0.3
+    got = (
+        system_wise_voting(spark.createDataFrame(pdf), window_size=w,
+                           contamination=c, method="sum")
+        .orderBy("system_id").toPandas()
+    )
+
+    max_n = max(len(v) for v in series.values())
+    mat = []
+    for k in sorted(series):
+        v = np.abs(series[k])
+        padded = np.concatenate([v, np.full(max_n - len(v), v[-1])])
+        mat.append([padded[i - w + 1:i + 1].sum()
+                    for i in range(w - 1, max_n)])
+    mat = np.asarray(mat)
+    votes = (mat == mat.max(axis=0)[None, :]).astype(int).sum(axis=1)
+    ranking = np.sort(votes)
+    th = ranking[int((1 - c) * len(ranking))]
+    exp_labels = (votes > th).astype(int)
+    np.testing.assert_array_equal(got["votes"], votes)
+    np.testing.assert_array_equal(got["label"], exp_labels)
+
+
+def test_evaluate_labels_metric_block(spark):
+    """P/R/F1/micro/macro/F-beta vs hand-computed sklearn formulas."""
+    import pandas as pd
+
+    from tods_spark.operators.detection import evaluate_labels
+
+    truth = [1, 1, 1, 0, 0, 0, 0, 1]
+    pred = [1, 0, 1, 1, 0, 0, 0, 0]
+    pdf = pd.DataFrame({"ground_truth": truth, "label": pred})
+    row = evaluate_labels(spark.createDataFrame(pdf), beta=2.0).collect()[0]
+    # tp=2 fp=1 fn=2 tn=3
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (2, 1, 2, 3)
+    p1, r1 = 2 / 3, 2 / 4
+    p0, r0 = 3 / 5, 3 / 4
+    f1_1 = 2 * p1 * r1 / (p1 + r1)
+    f1_0 = 2 * p0 * r0 / (p0 + r0)
+    assert abs(row["precision"] - p1) < 1e-12
+    assert abs(row["recall"] - r1) < 1e-12
+    assert abs(row["f1"] - f1_1) < 1e-12
+    assert abs(row["f1_micro"] - 5 / 8) < 1e-12
+    assert abs(row["f1_macro"] - (f1_1 + f1_0) / 2) < 1e-12
+    b2 = 4.0
+    fb = ((1 + b2) * p1 * r1 / (b2 * p1 + r1)
+          + (1 + b2) * p0 * r0 / (b2 * p0 + r0)) / 2
+    assert abs(row["f_beta"] - fb) < 1e-12
+
+
+def test_hbos_density_scores(spark):
+    """HBOS: a sample in a dense bin must score lower than one in a sparse
+    bin; scores equal log2(1/(density+alpha)) exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from tods_spark.operators.detection import hbos_scores
+
+    vals = np.concatenate([np.full(90, 5.0), np.array([100.0] * 2)])
+    pdf = pd.DataFrame({"value": vals, "i": range(len(vals))})
+    out = hbos_scores(spark.createDataFrame(pdf), "value", n_bins=10,
+                      alpha=0.1).toPandas()
+    lo, hi, n = 5.0, 100.0, 92
+    width = (hi - lo) / 10
+    dense = np.log2(1 / (90 / n / width + 0.1))
+    sparse = np.log2(1 / (2 / n / width + 0.1))
+    got = out.set_index("i")["hbos_score"]
+    np.testing.assert_allclose(got.loc[0], dense, rtol=1e-12)
+    np.testing.assert_allclose(got.loc[91], sparse, rtol=1e-12)
+    assert sparse > dense

@@ -85,7 +85,38 @@ def knn_scores(x: np.ndarray, window_size: int, step: int = 1,
     return kth, lefts
 
 
-_CORES = {"autoreg": autoreg_scores, "pca": pca_scores, "knn": knn_scores}
+def lof_scores(x: np.ndarray, window_size: int, step: int = 1,
+               n_neighbors: int = 5) -> tuple:
+    """Local Outlier Factor over flattened windows — PyodLOF.py:212 →
+    pyod.models.lof → sklearn LocalOutlierFactor (score = LOF value, the
+    positive quantity sklearn negates into negative_outlier_factor_):
+
+      k-dist(p)   = distance to the k-th nearest neighbor
+      N_k(p)      = all points within k-dist(p) (ties included)
+      reach(p,o)  = max(k-dist(o), d(p,o))
+      lrd(p)      = |N_k(p)| / Σ_{o∈N_k(p)} reach(p,o)
+      LOF(p)      = mean_{o∈N_k(p)} lrd(o) / lrd(p)
+    """
+    mat, lefts = _windows(x, window_size, step)
+    m = len(mat)
+    if m <= 1:
+        return np.ones(m), lefts
+    sq = (mat**2).sum(1)
+    d = np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2 * (mat @ mat.T), 0))
+    np.fill_diagonal(d, np.inf)
+    k = min(n_neighbors, m - 1)
+    kdist = np.partition(d, k - 1, axis=1)[:, k - 1]
+    # neighborhood masks (ties at the k-distance included, per the paper)
+    nmask = d <= kdist[:, None] + 1e-12
+    reach = np.maximum(kdist[None, :], d)  # reach(p, o) row=p col=o
+    n_nb = nmask.sum(1)
+    lrd = n_nb / np.where(nmask, reach, 0).sum(1)
+    lof = (np.where(nmask, lrd[None, :], 0).sum(1) / n_nb) / lrd
+    return lof, lefts
+
+
+_CORES = {"autoreg": autoreg_scores, "pca": pca_scores, "knn": knn_scores,
+          "lof": lof_scores}
 
 
 def detect(

@@ -275,7 +275,7 @@ QUERIES["stat_var_w5"] = _mk_stat_query("var", 5)
 ORACLES["stat_var_w5"] = _stat_sql("coalesce(var_pop(v) OVER frame, 0.0)", 5, "v_var")
 QUERIES["stat_abs_energy_w5"] = _mk_stat_query("abs_energy", 5)
 ORACLES["stat_abs_energy_w5"] = _stat_sql(
-    "round(sum(v*v) OVER frame, 4)", 5, "v_abs_energy"
+    "round(sum(v*v) OVER frame + 1e-9, 4)", 5, "v_abs_energy"
 )
 QUERIES["stat_mean_abs_w5"] = _mk_stat_query("mean_abs", 5)
 ORACLES["stat_mean_abs_w5"] = _stat_sql("avg(abs(v)) OVER frame", 5, "v_mean_abs")
@@ -1526,15 +1526,15 @@ QUERIES["stat_abs_sum_w5"] = _mk_stat_query("abs_sum", 5)
 ORACLES["stat_abs_sum_w5"] = _stat_sql("sum(abs(v)) OVER frame", 5, "v_abs_sum")
 QUERIES["stat_variation_w5"] = _mk_stat_query("variation", 5)
 ORACLES["stat_variation_w5"] = _stat_sql(
-    "round(stddev_pop(v) OVER frame / avg(v) OVER frame, 4)", 5, "v_variation"
+    "round(stddev_pop(v) OVER frame / avg(v) OVER frame + 1e-9, 4)", 5, "v_variation"
 )
 QUERIES["stat_gmean_w5"] = _mk_stat_query("gmean", 5)
 ORACLES["stat_gmean_w5"] = _stat_sql(
-    "round(exp(avg(ln(v)) OVER frame), 4)", 5, "v_gmean"
+    "round(exp(avg(ln(v)) OVER frame) + 1e-9, 4)", 5, "v_gmean"
 )
 QUERIES["stat_hmean_w5"] = _mk_stat_query("hmean", 5)
 ORACLES["stat_hmean_w5"] = _stat_sql(
-    "round(count(v) OVER frame / sum(1.0 / v) OVER frame, 4)", 5, "v_hmean"
+    "round(count(v) OVER frame / sum(1.0 / v) OVER frame + 1e-9, 4)", 5, "v_hmean"
 )
 QUERIES["stat_matd_w5"] = _mk_stat_query("mean_abs_temporal_derivative", 5)
 ORACLES["stat_matd_w5"] = f"""
@@ -1559,3 +1559,243 @@ SELECT event_type, window_start,
          AS v_mean_abs_temporal_derivative
 FROM base
 """
+
+
+# --------------------------------------------------------------------------
+# M. round-2 additions: skew/kurtosis/MAD oracles, HBOS, LOF, majority
+#    voting, metric block, spectral driver registrations
+# --------------------------------------------------------------------------
+
+
+def _moment_stat_sql(out: str, kind: str) -> str:
+    """skew / kurtosis / MAD over the trailing 5-frame via windowed list()
+    + centered list arithmetic (two-pass central moments — numerically the
+    same quantity Spark's one-pass skewness/kurtosis compute; the 4-decimal
+    round + nudge absorbs the ulp drift). Backfill rows rn<5 take rn=5's
+    value, as in _stat_sql."""
+    if kind == "skew":
+        # population g1 = m3 / m2^1.5 (scipy bias=True == Spark skewness)
+        raw = ("list_sum(list_transform(l, x -> (x-mu)*(x-mu)*(x-mu))) / len(l)"
+               " / power(list_sum(list_transform(l, x -> (x-mu)*(x-mu)))"
+               " / len(l), 1.5)")
+    elif kind == "kurtosis":
+        # Fisher excess g2 = m4 / m2^2 - 3
+        raw = ("list_sum(list_transform(l, x -> power(x-mu, 4))) / len(l)"
+               " / power(list_sum(list_transform(l, x -> (x-mu)*(x-mu)))"
+               " / len(l), 2) - 3")
+    else:  # mad
+        # scipy median_absolute_deviation: 1.4826 * median(|x - median(x)|)
+        raw = ("1.4826 * list_aggregate(list_transform(l, x -> abs(x - mu)),"
+               " 'median')")
+    center = ("quantile_cont(v, 0.5) OVER frame" if kind == "mad"
+              else "avg(v) OVER frame")
+    return f"""
+WITH {_SERIES_SQL},
+base AS (
+  SELECT event_type, window_start, row_number() OVER win AS rn,
+         list(v) OVER frame AS l, {center} AS mu
+  FROM series
+  WINDOW win AS (PARTITION BY event_type ORDER BY window_start),
+         frame AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+),
+-- inner NUDGED round mirrors the engine (windows._ROUND4 pre-rounds
+-- the raw stat before backfill); the outer nudge+round is then idempotent
+r AS (SELECT event_type, window_start, rn, round({raw} + 1e-9, 4) AS raw FROM base)
+SELECT event_type, window_start,
+       round(CASE WHEN rn < 5 THEN max(CASE WHEN rn = 5 THEN raw END)
+             OVER (PARTITION BY event_type) ELSE raw END + 1e-9, 4) AS {out}
+FROM r
+"""
+
+
+QUERIES["stat_skew_w5"] = _mk_stat_query("skew", 5)
+ORACLES["stat_skew_w5"] = _moment_stat_sql("v_skew", "skew")
+QUERIES["stat_kurtosis_w5"] = _mk_stat_query("kurtosis", 5)
+ORACLES["stat_kurtosis_w5"] = _moment_stat_sql("v_kurtosis", "kurtosis")
+QUERIES["stat_mad_w5"] = _mk_stat_query("median_absolute_deviation", 5)
+ORACLES["stat_mad_w5"] = _moment_stat_sql(
+    "v_median_absolute_deviation", "mad"
+)
+
+
+@register("detect_lof")  # rows-only: kNN-density ratios, not SQL
+def detect_lof_q(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    return DET.detect(s, "v", "lof", window_size=10, keys=["event_type"],
+                      order_col="window_start")
+
+
+@register(
+    "detect_hbos",
+    """
+WITH rng AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi,
+         count(*) AS n, (max(value) - min(value)) / 10 AS width
+  FROM events GROUP BY 1
+),
+binned AS (
+  SELECT e.event_id, e.event_type,
+         coalesce(least(CAST(floor((e.value - r.lo) / r.width) AS INT), 9), 0)
+           AS bin,
+         r.n, r.width
+  FROM events e JOIN rng r ON e.event_type = r.event_type
+),
+hist AS (
+  SELECT event_type, bin, count(*) AS cnt FROM binned GROUP BY 1, 2
+)
+SELECT b.event_id, b.event_type, b.bin,
+       round(log2(1.0 / (h.cnt / b.n / b.width + 0.1)) + 1e-9, 4)
+         AS hbos_score
+FROM binned b JOIN hist h ON b.event_type = h.event_type AND b.bin = h.bin
+""",
+)
+def detect_hbos_q(spark, sf_dir):
+    """HBOS (PyodHBOS.py:127): equal-width histogram density per type,
+    score = log2(1/(density + 0.1)). Pure Catalyst ↔ pure SQL — identical
+    IEEE expressions give identical bins and scores."""
+    out = DTOP.hbos_scores(_events(spark, sf_dir), "value",
+                           keys=["event_type"], n_bins=10, alpha=0.1)
+    return out.select(
+        "event_id", "event_type", "bin", _r4("hbos_score").alias("hbos_score")
+    )
+
+
+@register(
+    "system_wise_voting",
+    f"""
+WITH {_SERIES_SQL},
+o AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY window_start)
+           AS rn
+  FROM series
+),
+sz AS (SELECT event_type, count(*) AS n FROM o GROUP BY 1),
+mx AS (SELECT max(n) AS max_n FROM sz),
+lastv AS (
+  SELECT o.event_type, o.v AS lv, sz.n
+  FROM o JOIN sz ON o.event_type = sz.event_type AND o.rn = sz.n
+),
+pad AS (
+  SELECT l.event_type, l.n + 1 + j AS rn, l.lv AS v
+  FROM lastv l, mx, LATERAL (SELECT unnest(range(mx.max_n - l.n)) AS j)
+),
+allr AS (
+  SELECT event_type, rn, v FROM o
+  UNION ALL SELECT event_type, rn, v FROM pad
+),
+sc AS (
+  SELECT event_type, rn,
+         sum(abs(v)) OVER (PARTITION BY event_type ORDER BY rn
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s
+  FROM allr
+),
+scw AS (SELECT * FROM sc WHERE rn >= 3),
+mxs AS (SELECT rn, max(s) AS ms FROM scw GROUP BY 1),
+votes AS (
+  SELECT w.event_type, count(*) AS votes
+  FROM scw w JOIN mxs ON w.rn = mxs.rn AND w.s = mxs.ms GROUP BY 1
+),
+votes_all AS (
+  SELECT sz.event_type, CAST(coalesce(votes.votes, 0) AS BIGINT) AS votes
+  FROM sz LEFT JOIN votes ON sz.event_type = votes.event_type
+),
+rk AS (
+  SELECT votes AS t, row_number() OVER (ORDER BY votes, event_type) AS r,
+         count(*) OVER () AS S
+  FROM votes_all
+)
+SELECT event_type, votes,
+       CASE WHEN votes > (SELECT t FROM rk WHERE r - 1 = CAST(floor(0.7 * S) AS INT))
+            THEN 1 ELSE 0 END AS label
+FROM votes_all
+""",
+)
+def system_wise_voting_q(spark, sf_dir):
+    """SystemWiseDetection majority_voting_sliding_window_sum
+    (SystemWiseDetection.py:376-415): event_type plays system, per-minute
+    series plays the per-system signal; w=3, contamination=0.3."""
+    s = _series(spark, sf_dir)
+    return DTOP.system_wise_voting(
+        s, score_col="v", system_col="event_type", window_size=3,
+        order_col="window_start", method="sum", contamination=0.3,
+    ).select(F.col("event_type"), "votes", "label")
+
+
+@register(
+    "evaluate_metrics",
+    """
+WITH cm AS (
+  SELECT
+    CAST(sum(CASE WHEN value > 20 AND value > 18 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN value <= 20 AND value > 18 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN value > 20 AND value <= 18 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN value <= 20 AND value <= 18 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM events
+),
+m AS (
+  SELECT tp, fp, fn, tn,
+         CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0 END AS p1,
+         CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0 END AS r1,
+         CASE WHEN tn + fn > 0 THEN CAST(tn AS DOUBLE) / (tn + fn) ELSE 0 END AS p0,
+         CASE WHEN tn + fp > 0 THEN CAST(tn AS DOUBLE) / (tn + fp) ELSE 0 END AS r0
+  FROM cm
+)
+SELECT tp, fp, fn, tn,
+       round(p1 + 1e-9, 4) AS precision,
+       round(r1 + 1e-9, 4) AS recall,
+       round(CASE WHEN p1 + r1 > 0 THEN 2*p1*r1/(p1+r1) ELSE 0 END + 1e-9, 4) AS f1,
+       round(CAST(tp + tn AS DOUBLE) / (tp+fp+fn+tn) + 1e-9, 4) AS f1_micro,
+       round((CASE WHEN p1 + r1 > 0 THEN 2*p1*r1/(p1+r1) ELSE 0 END
+            + CASE WHEN p0 + r0 > 0 THEN 2*p0*r0/(p0+r0) ELSE 0 END) / 2 + 1e-9, 4)
+         AS f1_macro,
+       round((CASE WHEN 4*p1 + r1 > 0 THEN 5*p1*r1/(4*p1+r1) ELSE 0 END
+            + CASE WHEN 4*p0 + r0 > 0 THEN 5*p0*r0/(4*p0+r0) ELSE 0 END) / 2 + 1e-9, 4)
+         AS f_beta
+FROM m
+""",
+)
+def evaluate_metrics_q(spark, sf_dir):
+    """Full metric block (utils.py:665-722): truth = value > 20, prediction
+    = value > 18 (a deliberately imperfect detector so every confusion cell
+    is non-empty); F_beta at beta=2 macro-averaged like the reference."""
+    ev = _events(spark, sf_dir).select(
+        F.when(F.col("value") > 20, 1).otherwise(0).alias("ground_truth"),
+        F.when(F.col("value") > 18, 1).otherwise(0).alias("label"),
+    )
+    out = DTOP.evaluate_labels(ev, beta=2.0)
+    return out.select(
+        "tp", "fp", "fn", "tn",
+        _r4("precision").alias("precision"),
+        _r4("recall").alias("recall"),
+        _r4("f1").alias("f1"),
+        _r4("f1_micro").alias("f1_micro"),
+        _r4("f1_macro").alias("f1_macro"),
+        _r4("f_beta").alias("f_beta"),
+    )
+
+
+@register("fft_magnitude")  # rows-only: FFT is not SQL-expressible
+def fft_magnitude_q(spark, sf_dir):
+    """FastFourierTransform.py:146 — per-series |FFT|."""
+    s = _series(spark, sf_dir)
+    return SPOP.spectral_transform(s, ["v"], "fft_mag", keys=["event_type"],
+                                   order_col="window_start")
+
+
+@register("dct_transform")  # rows-only: DCT-II via even-extension FFT
+def dct_transform_q(spark, sf_dir):
+    """DiscreteCosineTransform.py:153 — per-series DCT-II."""
+    s = _series(spark, sf_dir)
+    return SPOP.spectral_transform(s, ["v"], "dct", keys=["event_type"],
+                                   order_col="window_start")
+
+
+@register("bk_filter_cycle")  # rows-only: Baxter-King bandpass convolution
+def bk_filter_q(spark, sf_dir):
+    """BKFilter.py:197 — per-series Baxter-King bandpass (NaN edges kept,
+    matching statsmodels' trimmed window)."""
+    s = _series(spark, sf_dir)
+    return SPOP.spectral_transform(s, ["v"], "bk_filter", keys=["event_type"],
+                                   order_col="window_start")
