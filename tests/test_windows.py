@@ -182,3 +182,37 @@ def test_hbos_density_scores(spark):
     np.testing.assert_allclose(got.loc[0], dense, rtol=1e-12)
     np.testing.assert_allclose(got.loc[91], sparse, rtol=1e-12)
     assert sparse > dense
+
+
+def test_nmf_factorizes_and_reconstructs(spark):
+    """NMF core: W,H non-negative, reconstruction error small on a true
+    low-rank non-negative matrix; Spark windowed operator is deterministic
+    and matches the local kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from tods_spark.operators.decompose import nmf_factorize, nmf_windows
+
+    rng = np.random.default_rng(3)
+    Wt = rng.uniform(0, 1, (40, 2))
+    Ht = rng.uniform(0, 1, (2, 8))
+    V = Wt @ Ht
+    W, H = nmf_factorize(V, rank=2, n_iter=500)
+    assert (W >= 0).all() and (H >= 0).all()
+    rel = ((V - W @ H) ** 2).sum() / (V ** 2).sum()
+    assert rel < 1e-3
+
+    x = rng.uniform(0, 5, 60)
+    pdf = pd.DataFrame({"timestamp": range(60), "value": x})
+    out = (
+        nmf_windows(spark.createDataFrame(pdf), "value", rank=2,
+                    window_size=8, step=4)
+        .orderBy("seg_id").toPandas()
+    )
+    # local replay: same windows, same seed → identical latent vectors
+    lefts = np.arange(0, 60 - 8 + 1, 4)
+    Vloc = np.stack([x[i:i + 8] for i in lefts])
+    Wloc, _ = nmf_factorize(Vloc, 2)
+    np.testing.assert_array_equal(out["left_ind"], lefts)
+    np.testing.assert_allclose(out["row_latent_vector_0"], Wloc[:, 0], rtol=1e-12)
+    np.testing.assert_allclose(out["row_latent_vector_1"], Wloc[:, 1], rtol=1e-12)

@@ -26,6 +26,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -180,3 +182,81 @@ def quantile_transform_uniform(
         w = Window.partitionBy(*keys).orderBy(c)
         out = out.withColumn(f"{c}_qt", F.percent_rank().over(w))
     return out
+
+
+def nmf_factorize(V: np.ndarray, rank: int, n_iter: int = 200,
+                  seed: int = 0, tol: float = 1e-9):
+    """Non-negative matrix factorization V ≈ W·H by Lee-Seung euclidean
+    multiplicative updates — the engine-native core of
+    NonNegativeMatrixFactorizationPrimitive (tods/feature_analysis/
+    NonNegativeMatrixFactorization.py:187-198, nimfa.Nmf with the default
+    euclidean update / Frobenius objective). Deterministic seeded uniform
+    init (nimfa seed='random_vcol' is RNG-dependent; a fixed seed is the
+    reproducible engine contract)."""
+    V = np.asarray(V, float)
+    m, n = V.shape
+    rng = np.random.default_rng(seed)
+    W = rng.uniform(0.1, 1.0, (m, rank))
+    H = rng.uniform(0.1, 1.0, (rank, n))
+    eps = 1e-12
+    prev = np.inf
+    for _ in range(n_iter):
+        H *= (W.T @ V) / (W.T @ W @ H + eps)
+        W *= (V @ H.T) / (W @ (H @ H.T) + eps)
+        obj = float(((V - W @ H) ** 2).sum())
+        if prev - obj < tol * max(prev, 1.0):
+            break
+        prev = obj
+    return W, H
+
+
+def nmf_windows(
+    df: DataFrame,
+    value_col: str,
+    rank: int = 3,
+    window_size: int = 10,
+    step: int = 5,
+    keys: list[str] | None = None,
+    order_col: str = "timestamp",
+    n_iter: int = 200,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-series NMF over the sliding-window matrix (rows = windows,
+    columns = in-window positions — the same matrix the reference feeds
+    nimfa after SubsequenceSegmentation): one grouped-map Arrow batch per
+    series, output one row per window with its rank-d latent vector
+    (reference `row_latent_vector_*` columns). Values are shifted to be
+    non-negative per series (NMF requires V ≥ 0); the shift is returned so
+    the factorization remains interpretable."""
+    keys = keys or []
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(float)
+        shift = min(0.0, float(x.min())) if len(x) else 0.0
+        x = x - shift
+        n = len(x)
+        lefts = np.arange(0, max(n - window_size + 1, 0), step)
+        if not len(lefts):
+            out = pd.DataFrame({"seg_id": [], "left_ind": [], "shift": []})
+            for i in range(rank):
+                out[f"row_latent_vector_{i}"] = []
+        else:
+            V = np.stack([x[i: i + window_size] for i in lefts])
+            W, _ = nmf_factorize(V, rank, n_iter=n_iter, seed=seed)
+            out = pd.DataFrame({"seg_id": np.arange(len(lefts)),
+                                "left_ind": lefts,
+                                "shift": shift})
+            for i in range(rank):
+                out[f"row_latent_vector_{i}"] = W[:, i]
+        for k in keys:
+            out[k] = pdf[k].iloc[0] if len(pdf) else None
+        return out[[*keys, "seg_id", "left_ind", "shift",
+                    *(f"row_latent_vector_{i}" for i in range(rank))]]
+
+    from tods_spark.operators._util import grouped_apply
+
+    key_fields = "".join(f"`{k}` string, " for k in keys)
+    lat = ", ".join(f"row_latent_vector_{i} double" for i in range(rank))
+    schema = f"{key_fields}seg_id long, left_ind long, shift double, {lat}"
+    return grouped_apply(df, keys, fn, schema)

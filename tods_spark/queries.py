@@ -1799,3 +1799,13 @@ def bk_filter_q(spark, sf_dir):
     s = _series(spark, sf_dir)
     return SPOP.spectral_transform(s, ["v"], "bk_filter", keys=["event_type"],
                                    order_col="window_start")
+
+
+@register("nmf_latent")  # rows-only: iterative multiplicative updates
+def nmf_latent_q(spark, sf_dir):
+    """NonNegativeMatrixFactorization.py:187-198 — per-series NMF over the
+    sliding-window matrix; one row per window with its rank-3 latent
+    vector (row_latent_vector_*)."""
+    s = _series(spark, sf_dir)
+    return DCOP.nmf_windows(s, "v", rank=3, window_size=10, step=5,
+                            keys=["event_type"], order_col="window_start")
