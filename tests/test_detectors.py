@@ -102,3 +102,29 @@ def test_lof_matches_hand_computed():
         ref[p] = np.mean(lrds) / lrd_p
     np.testing.assert_allclose(scores, ref, rtol=1e-9)
     assert scores[-1] > 5 and (scores[:-1] < 2).all()
+
+
+def test_iforest_finds_planted_spike(spark):
+    x = _series_with_spike()
+    pdf = pd.DataFrame({"timestamp": range(len(x)), "value": x})
+    out = (
+        DET.detect(spark.createDataFrame(pdf), "value", "iforest",
+                   window_size=12, contamination=0.02)
+        .orderBy("seg_id")
+        .toPandas()
+    )
+    flagged = out[out.label == 1]
+    assert len(flagged) > 0
+    assert ((flagged.left_ind <= 200) & (flagged.right_ind >= 200)).any()
+
+
+def test_iforest_score_properties():
+    """iForest invariants: scores in (0,1); an isolated far point scores
+    higher than clustered points; deterministic for a fixed seed."""
+    rng = np.random.default_rng(2)
+    x = np.concatenate([rng.normal(0, 0.1, 120), [25.0], rng.normal(0, 0.1, 40)])
+    s1, lefts = DET.iforest_scores(x, window_size=1, step=1, n_trees=50)
+    s2, _ = DET.iforest_scores(x, window_size=1, step=1, n_trees=50)
+    np.testing.assert_array_equal(s1, s2)
+    assert (s1 > 0).all() and (s1 < 1).all()
+    assert s1[120] > s1[:120].max() and s1[120] > s1[121:].max()

@@ -16,6 +16,13 @@ reference's sklearn/pyod-backed cores (neither library is assumed):
 * ``kdiscord_od`` — core.KDiscord: kNN distance between flattened windows
   (pyod KNN method='largest', k-th nearest neighbor distance).
 
+* ``lof_scores`` — PyodLOF.py:212: Breunig local-outlier-factor over
+  flattened windows (k-dist / reachability / lrd ratio, ties included).
+
+* ``iforest_scores`` — PyodIsolationForest.py:192: seeded isolation forest
+  over flattened windows, s(p) = 2^(−E[h(p)]/c(ψ)), vectorized level-order
+  tree traversal.
+
 Each returns one row per window: (keys, seg_id, left_ind, right_ind, score)
 plus thresholded label via the CollectiveBase percentile rule
 (CollectiveBase.py:329-345). Scores are computed inside one Arrow batch per
@@ -163,3 +170,88 @@ def detect(
     schema = (f"{key_fields}seg_id long, left_ind long, right_ind long, "
               "score double, threshold double, label int")
     return grouped_apply(df, keys, fn, schema)
+
+
+def _c_factor(n: int) -> float:
+    """Average unsuccessful-search path length c(n) in a BST — the iForest
+    normalizer (Liu, Ting & Zhou 2008, eq. 1)."""
+    if n <= 1:
+        return 0.0
+    h = np.log(n - 1) + 0.5772156649015329  # harmonic via Euler-Mascheroni
+    return 2.0 * h - 2.0 * (n - 1) / n
+
+
+def _build_itree(X: np.ndarray, rng, depth_limit: int):
+    """One isolation tree as flat arrays (feature, split, left, right,
+    leaf_size, leaf_depth); array-based so scoring can traverse all points
+    level-by-level with numpy instead of per-point recursion."""
+    feat, split, left, right, size, depth = [], [], [], [], [], []
+
+    def rec(idx: np.ndarray, d: int) -> int:
+        node = len(feat)
+        feat.append(-1); split.append(0.0); left.append(-1); right.append(-1)
+        size.append(len(idx)); depth.append(d)
+        if d >= depth_limit or len(idx) <= 1:
+            return node
+        sub = X[idx]
+        lo, hi = sub.min(axis=0), sub.max(axis=0)
+        usable = np.where(hi > lo)[0]
+        if not len(usable):
+            return node
+        f = int(rng.choice(usable))
+        s = float(rng.uniform(lo[f], hi[f]))
+        mask = sub[:, f] < s
+        feat[node], split[node] = f, s
+        left[node] = rec(idx[mask], d + 1)
+        right[node] = rec(idx[~mask], d + 1)
+        return node
+
+    rec(np.arange(len(X)), 0)
+    return (np.array(feat), np.array(split), np.array(left),
+            np.array(right), np.array(size), np.array(depth))
+
+
+def iforest_scores(x: np.ndarray, window_size: int, step: int = 1,
+                   n_trees: int = 100, subsample: int = 256,
+                   seed: int = 0) -> tuple:
+    """Isolation Forest over flattened windows — PyodIsolationForest.py:192
+    → sklearn IsolationForest semantics: anomaly score
+    s(p) = 2^(−E[h(p)] / c(ψ)), h = path depth + c(leaf_size). Deterministic
+    seeded trees (the engine contract; sklearn's forest depends on its own
+    RNG stream). Scoring traverses each tree level-by-level, vectorized
+    over all windows."""
+    mat, lefts = _windows(x, window_size, step)
+    m = len(mat)
+    if m <= 1:
+        return np.zeros(m), lefts
+    rng = np.random.default_rng(seed)
+    psi = min(subsample, m)
+    depth_limit = int(np.ceil(np.log2(max(psi, 2))))
+    paths = np.zeros(m)
+    for _ in range(n_trees):
+        samp = rng.choice(m, size=psi, replace=False)
+        feat, split, left, right, size, depth = _build_itree(
+            mat[samp], rng, depth_limit
+        )
+        node = np.zeros(m, dtype=np.int64)
+        active = np.ones(m, dtype=bool)
+        while active.any():
+            cur = node[active]
+            internal = feat[cur] >= 0
+            idx = np.where(active)[0]
+            done = idx[~internal]
+            active[done] = False
+            go = idx[internal]
+            if not len(go):
+                break
+            cn = node[go]
+            goes_left = mat[go, feat[cn]] < split[cn]
+            node[go] = np.where(goes_left, left[cn], right[cn])
+        leaf = node
+        paths += depth[leaf] + np.vectorize(_c_factor)(size[leaf])
+    avg_h = paths / n_trees
+    scores = np.exp2(-avg_h / max(_c_factor(psi), 1e-12))
+    return scores, lefts
+
+
+_CORES["iforest"] = iforest_scores

@@ -1809,3 +1809,28 @@ def nmf_latent_q(spark, sf_dir):
     s = _series(spark, sf_dir)
     return DCOP.nmf_windows(s, "v", rank=3, window_size=10, step=5,
                             keys=["event_type"], order_col="window_start")
+
+
+@register("detect_iforest")  # rows-only: randomized trees (seeded)
+def detect_iforest_q(spark, sf_dir):
+    """PyodIsolationForest.py:192 — seeded isolation forest over sliding
+    windows; deterministic for a fixed seed, so rows-only is stable."""
+    s = _series(spark, sf_dir)
+    return DET.detect(s, "v", "iforest", window_size=10, keys=["event_type"],
+                      order_col="window_start", n_trees=50)
+
+
+@register("trmf_embeddings")  # rows-only: gradient-descent factorization
+def trmf_embeddings_q(spark, sf_dir):
+    """TRMF.py:162 — temporal-regularized MF over the per-type minute
+    series panel; one K-dim embedding row per series."""
+    from tods_spark.operators.trmf import trmf_embed
+
+    s = _series(spark, sf_dir).withColumn("grp", F.lit("all"))
+    out = trmf_embed(s, "v", "event_type", order_col="window_start",
+                     keys=["grp"], K=2, max_iter=100)
+    return out.select(
+        "event_type",
+        _r4("series_latent_0").alias("series_latent_0"),
+        _r4("series_latent_1").alias("series_latent_1"),
+    )
