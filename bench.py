@@ -39,6 +39,11 @@ BENCH_QUERIES = [
     "dedup_minute_avg",
     "denormalize_revenue",
     "q1_pricing_summary",
+    # LLM-pipeline ops (documents/embeddings tables)
+    "dedup_exact_groups",
+    "minhash_lsh_candidates",
+    "ann_cosine_top5",
+    "doc_quality",
 ]
 
 # docs per sf unit: sf0.1 → 400k docs (~100M tokens), sf0.01 → 40k
@@ -96,16 +101,29 @@ def main() -> None:
     # BASELINE.md "environment ceiling"), not of the plans being measured —
     # a small untimed cascade touches every code path once
     run_token_cascade(spark, max(2000, n_docs // 50))
+    # same for each bench query at the smallest SF (codegen compile of the
+    # big minhash/ann expression trees is a one-time JIT cost)
+    for name in BENCH_QUERIES:
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()
 
+    # best-of-2 per entry: host contention on this box varies identical
+    # runs 3-5x (BENCH/BASELINE.md environment ceiling); noise only ever
+    # SLOWS a run, so min is the low-variance engine estimate
     timings: dict[str, float] = {}
     cascade_sec, points = run_token_cascade(spark, n_docs)
+    sec2, _ = run_token_cascade(spark, n_docs)
+    cascade_sec = min(cascade_sec, sec2)
     timings["token_cascade"] = round(cascade_sec, 3)
 
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            sec = time.time() - t0
+            best = sec if best is None or sec < best else best
+        timings[name] = round(best, 3)
         assert n > 0, name
 
     total = round(sum(timings.values()), 3)

@@ -99,6 +99,22 @@ def main() -> None:
     plan = QUERIES["timeseries_split_5fold"](spark, SF)._jdf.queryExecution().executedPlan().toString()
     check("timeseries split has no Window operator", "Window" not in plan)
 
+    # 10. the default digest cascade never ships raw values through the
+    #     shuffle: no collect_list over the raw scan (partials only)
+    from tods_spark.operators.rollup import full_cascade
+
+    with tempfile.TemporaryDirectory() as td:
+        token_table(spark, 2000).write.parquet(f"{td}/tok")
+        t1m = full_cascade(spark.read.parquet(f"{td}/tok"),
+                           with_digest=True)["1m"]
+        plan = t1m._jdf.queryExecution().executedPlan().toString()
+        # the collect-path signature is sort_array(collect_list(<raw value>));
+        # the partial path shows a MapInPandas stage before the shuffle (its
+        # reduce still collect_lists the per-batch digest STRUCTS — that is
+        # O(batches), not O(rows), and is fine)
+        check("digest cascade default is map-side partial (no raw collect_list)",
+              "sort_array(collect_list" not in plan and "MapInPandas" in plan)
+
     bad = [n for n, ok in checks if not ok]
     print(f"\n{len(checks) - len(bad)}/{len(checks)} plan checks pass")
     if bad:

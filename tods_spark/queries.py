@@ -901,11 +901,16 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
 
 
 def _minhash_sql(k: int = 16, bands: int = 8) -> str:
-    """DuckDB twin of minhash_lsh_candidates: identical 60-bit md5-slice
-    coordinate hashes, identical md5 band buckets."""
+    """DuckDB twin of minhash_lsh_candidates: identical base 60-bit
+    md5-slice hash, identical universal-hash permutations (a_i·h+b_i mod p
+    — pure int64 arithmetic, same in both engines), identical md5 band
+    buckets."""
     r = k // bands
+    av, bv = DD.minhash_coeffs(k)
+    p = DD.MINHASH_P
+    base = f"({DD.md5_h64_sql('shingle')} % {p})"
     mins = ",\n         ".join(
-        f"min({DD.md5_h64_sql('shingle', seed=i)}) AS h{i}" for i in range(k)
+        f"min((h * {av[i]} + {bv[i]}) % {p}) AS h{i}" for i in range(k)
     )
     cases = "\n           ".join(
         "WHEN {b} THEN md5(concat_ws(',', {cols}))".format(
@@ -918,10 +923,11 @@ def _minhash_sql(k: int = 16, bands: int = 8) -> str:
     )
     return rf"""
 WITH {_SHINGLE_SQL},
+hashed AS (SELECT id, {base} AS h FROM sh),
 sig AS (
   SELECT id,
          {mins}
-  FROM sh GROUP BY 1
+  FROM hashed GROUP BY 1
 ),
 banded AS (
   SELECT id, t.band,
