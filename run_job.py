@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--no-digest", action="store_true")
     ap.add_argument("--retention", action="store_true",
                     help="apply default per-tier retention horizons")
+    ap.add_argument("--verify-resume", action="store_true",
+                    help="re-fingerprint done partitions before skipping "
+                         "them; drifted partitions are recomputed")
     args = ap.parse_args()
 
     from tods_spark.pipeline import run_engine
@@ -47,6 +50,7 @@ def main() -> None:
         args.output,
         job_id=args.job_id,
         with_digest=not args.no_digest,
+        verify_resume=args.verify_resume,
         now=datetime.now(timezone.utc).replace(tzinfo=None)
         if args.retention
         else None,

@@ -67,3 +67,45 @@ def test_overwrite_partitions_idempotent(spark, tmp_path):
     tbl.overwrite_partitions(withpk)  # rewrite same partitions
     assert tbl.read().count() == n1
     assert len(tbl.partitions()) == withpk.select("part_key").distinct().count()
+
+
+def test_verify_resume_detects_and_heals_drift(spark, tmp_path):
+    """verify_resume: a silently corrupted partition (rows dropped from the
+    written table AFTER its checkpoint record) is detected via the
+    per-partition fingerprint and recomputed; clean partitions stay
+    skipped; the healed table equals the original."""
+    import pyspark.sql.functions as F
+
+    raw = token_table(spark, 6000, partitions=4)
+    out = PartitionedTable(spark, str(tmp_path / "t1m"), ["part_key"])
+    ckpt = CheckpointLog(str(tmp_path / "ckpt.jsonl"))
+    r1 = run_tier(spark, raw, _compute, out, ckpt, job_id="v", tier="1m")
+    parts = r1["computed"]
+    assert len(parts) >= 2
+    total = out.read().count()
+
+    # corrupt one partition in place: keep only half its rows
+    victim = parts[0]
+    vic_rows = out.read().filter(F.col("part_key") == victim)
+    half = vic_rows.limit(max(vic_rows.count() // 2, 1)).cache()
+    half.count()
+    out.overwrite_partitions(half.coalesce(1))
+    half.unpersist()
+    assert out.read().count() < total
+
+    # plain resume trusts the checkpoint and skips over the corruption
+    r2 = run_tier(spark, raw, _compute, out, ckpt, job_id="v", tier="1m")
+    assert not r2["computed"] and out.read().count() < total
+
+    # verifying resume detects exactly the victim, recomputes it, heals
+    r3 = run_tier(spark, raw, _compute, out, ckpt, job_id="v", tier="1m",
+                  verify_resume=True)
+    assert r3["drifted"] == [victim]
+    assert r3["computed"] == [victim]
+    assert set(r3["skipped"]) == set(parts) - {victim}
+    assert out.read().count() == total
+
+    # and a second verifying resume is clean
+    r4 = run_tier(spark, raw, _compute, out, ckpt, job_id="v", tier="1m",
+                  verify_resume=True)
+    assert not r4["drifted"] and not r4["computed"]

@@ -66,3 +66,45 @@ def test_salted_agg_equals_plain(spark):
 def test_skew_exists_in_generator(spark):
     rep = skew.skew_report(token_table(spark, 4000, partitions=4), "source").toPandas()
     assert rep.iloc[0]["source"] == "web" and rep.iloc[0]["share"] > 0.6
+
+
+def test_stateful_streaming_ses_matches_batch(spark, tmp_path):
+    """applyInPandasWithState SES: the level carried in GroupState across
+    micro-batches (one file per trigger, written in event-time order) must
+    reproduce the batch recurrence bit-for-bit on the concatenated input."""
+    import os
+
+    import pandas as pd
+
+    from tods_spark.operators.smoothing import ses_fitted
+    from tods_spark.streaming.stateful import run_stateful_stream_from_parquet
+
+    rng = np.random.default_rng(9)
+    frames = []
+    for k in ("a", "b"):
+        ts = pd.date_range("2024-01-01", periods=90, freq="min")
+        frames.append(pd.DataFrame({
+            "event_type": k, "window_start": ts,
+            "v": rng.normal(10, 3, 90).round(3),
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+    src = str(tmp_path / "ses_src")
+    os.makedirs(src)
+    # three micro-batches in event-time order (file source reads
+    # lexicographically): the state must survive batch boundaries
+    for i, (lo, hi) in enumerate([(0, 30), (30, 60), (60, 90)]):
+        chunk = pd.concat(
+            [f.iloc[lo:hi] for f in frames], ignore_index=True
+        )
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(
+            f"{src}/batch={i}"
+        )
+    schema = "event_type string, window_start timestamp, v double"
+    got = run_stateful_stream_from_parquet(
+        spark, f"{src}/batch=*", schema
+    ).orderBy("event_type", "window_start").toPandas()
+    assert len(got) == len(pdf)
+    for k, f in zip(("a", "b"), frames):
+        g = got[got.event_type == k]
+        exp = ses_fitted(f["v"].to_numpy())
+        np.testing.assert_array_equal(g["v_ses"].to_numpy(), exp)

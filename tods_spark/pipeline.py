@@ -45,6 +45,7 @@ def run_engine(
     now: datetime | None = None,
     pack: bool = True,
     dedup: str | None = None,
+    verify_resume: bool = False,
 ) -> dict:
     """Run the full cascade with checkpointed writes; returns per-tier
     stats {tier: {"computed": [...], "skipped": [...], "rows_out": n}}.
@@ -79,6 +80,7 @@ def run_engine(
     t1m_table = PartitionedTable(spark, f"{base_dir}/tier_1m", ["part_key"])
     report["1m"] = run_tier(
         spark, raw_df, raw_to_1m, t1m_table, ckpt, job_id, "1m", in_ts_col="ts",
+        verify_resume=verify_resume,
     )
 
     t1m = t1m_table.read()
@@ -87,6 +89,7 @@ def run_engine(
         spark, t1m.drop("part_key"),
         lambda df: rollup_cascade(df, "1m", "1h", keys=keys),
         t1h_table, ckpt, job_id, "1h", in_ts_col="window_start",
+        verify_resume=verify_resume,
     )
 
     t1h = t1h_table.read()
@@ -95,6 +98,7 @@ def run_engine(
         spark, t1h.drop("part_key"),
         lambda df: rollup_cascade(df, "1h", "1d", keys=keys),
         t1d_table, ckpt, job_id, "1d", in_ts_col="window_start",
+        verify_resume=verify_resume,
     )
 
     if pack:

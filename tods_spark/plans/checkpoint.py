@@ -103,13 +103,23 @@ def run_tier(
     in_ts_col: str = "ts",
     out_ts_col: str = "window_start",
     partition_col: str = "part_key",
+    verify_resume: bool = False,
 ) -> dict:
     """Run one rollup tier with per-partition lineage + resume.
 
     The coarse partition key is the DAY of the event time — derived from
     `in_ts_col` on the input and `out_ts_col` on the output (a tier never
     maps an input day to a different output day for tiers ≤ 1d).
-    Returns {"computed": [...], "skipped": [...], "rows_out": n}.
+
+    verify_resume=True audits every 'done' partition before trusting it:
+    the WRITTEN bytes are re-fingerprinted (one groupBy over the pruned
+    read-back) and compared to the checkpoint record; any drifted or
+    missing partition is demoted back to todo and recomputed. This is what
+    per-partition fingerprints are FOR — a resume that detects silent
+    table corruption instead of skipping over it.
+
+    Returns {"computed": [...], "skipped": [...], "drifted": [...],
+    "rows_out": n}.
     """
     in_expr = F.date_format(in_ts_col, "yyyy-MM-dd")
     out_expr = F.date_format(out_ts_col, "yyyy-MM-dd")
@@ -122,6 +132,25 @@ def run_tier(
     done = ckpt.done_partitions(job_id, tier)
     todo = sorted(p for p in all_parts if p not in done)
     skipped = sorted(p for p in all_parts if p in done)
+    drifted: list[str] = []
+
+    if verify_resume and skipped and out_table.exists():
+        recorded = {
+            r["partition"]: (r["rows_out"], r["fingerprint"])
+            for r in ckpt.records()
+            if r["job_id"] == job_id and r["tier"] == tier
+            and r["status"] == "done"
+        }
+        written = out_table.read().filter(
+            F.col(partition_col).isin(skipped)
+        )
+        actual = _per_partition_stats(written, partition_col)
+        for p in skipped:
+            if actual.get(p) != recorded.get(p):
+                drifted.append(p)
+        if drifted:
+            todo = sorted(todo + drifted)
+            skipped = [p for p in skipped if p not in drifted]
 
     rows_out_total = 0
     if todo:
@@ -155,4 +184,5 @@ def run_tier(
                 fingerprint=fp, status="done", wall_s=round(wall, 3),
             )
             rows_out_total += n_out
-    return {"computed": todo, "skipped": skipped, "rows_out": rows_out_total}
+    return {"computed": todo, "skipped": skipped, "drifted": drifted,
+            "rows_out": rows_out_total}
