@@ -128,3 +128,37 @@ def test_iforest_score_properties():
     np.testing.assert_array_equal(s1, s2)
     assert (s1 > 0).all() and (s1 < 1).all()
     assert s1[120] > s1[:120].max() and s1[120] > s1[121:].max()
+
+
+@pytest.mark.parametrize("method", ["abod", "loda"])
+def test_abod_loda_find_planted_spike(spark, method):
+    x = _series_with_spike()
+    pdf = pd.DataFrame({"timestamp": range(len(x)), "value": x})
+    out = (
+        DET.detect(spark.createDataFrame(pdf), "value", method,
+                   window_size=12, contamination=0.02)
+        .orderBy("seg_id")
+        .toPandas()
+    )
+    flagged = out[out.label == 1]
+    assert len(flagged) > 0
+    assert ((flagged.left_ind <= 200) & (flagged.right_ind >= 200)).any()
+
+
+def test_abod_outlier_has_low_angle_variance():
+    """The geometric invariant: a point far outside a cluster sees its
+    neighbors under a narrow cone (small angle variance → highest −var
+    score)."""
+    rng = np.random.default_rng(4)
+    x = np.concatenate([rng.normal(0, 0.1, 60), [30.0]])
+    s, _ = DET.abod_scores(x, window_size=1, step=1, n_neighbors=8)
+    assert s[-1] == s.max()
+
+
+def test_loda_deterministic_and_flags_outlier():
+    rng = np.random.default_rng(6)
+    x = np.concatenate([rng.normal(5, 0.5, 100), [50.0], rng.normal(5, 0.5, 50)])
+    s1, _ = DET.loda_scores(x, window_size=1, step=1)
+    s2, _ = DET.loda_scores(x, window_size=1, step=1)
+    np.testing.assert_array_equal(s1, s2)
+    assert s1[100] == s1.max()

@@ -255,3 +255,64 @@ def iforest_scores(x: np.ndarray, window_size: int, step: int = 1,
 
 
 _CORES["iforest"] = iforest_scores
+
+
+def abod_scores(x: np.ndarray, window_size: int, step: int = 1,
+                n_neighbors: int = 8) -> tuple:
+    """FastABOD core (PyodABOD.py → pyod.models.abod, method='fast'):
+    angle-based outlier factor over flattened windows. For each point p,
+    ABOF(p) = variance over neighbor pairs (a, b) of the weighted angle
+      <(a−p),(b−p)> / (|a−p|²·|b−p|²)
+    restricted to the k nearest neighbors; pyod returns score = −ABOF
+    (outliers have SMALL angle variance), so higher = more anomalous,
+    matching the engine's score contract. O(m·k²) — bounded per series."""
+    mat, lefts = _windows(x, window_size, step)
+    m = len(mat)
+    if m <= 2:
+        return np.zeros(m), lefts
+    sq = (mat**2).sum(1)
+    d2 = np.maximum(sq[:, None] + sq[None, :] - 2 * (mat @ mat.T), 0)
+    np.fill_diagonal(d2, np.inf)
+    k = min(n_neighbors, m - 1)
+    nbrs = np.argpartition(d2, k - 1, axis=1)[:, :k]
+    scores = np.empty(m)
+    for p in range(m):
+        V = mat[nbrs[p]] - mat[p]          # k × w difference vectors
+        nv = (V**2).sum(1)                  # |v|²
+        G = V @ V.T                         # pairwise dots
+        W = G / (nv[:, None] * nv[None, :])  # weighted angles
+        iu = np.triu_indices(k, 1)
+        scores[p] = -float(np.var(W[iu]))
+    return scores, lefts
+
+
+def loda_scores(x: np.ndarray, window_size: int, step: int = 1,
+                n_projections: int = 20, n_bins: int = 10,
+                seed: int = 0) -> tuple:
+    """LODA core (pyod.models.loda — Pevný 2016, "Loda: Lightweight on-line
+    detector of anomalies"): random sparse projections, equal-width
+    histogram per projection, score = −mean log density of the sample's
+    bin. Seeded projections = deterministic engine contract."""
+    mat, lefts = _windows(x, window_size, step)
+    m, w = mat.shape if len(mat) else (0, window_size)
+    if m <= 1:
+        return np.zeros(m), lefts
+    rng = np.random.default_rng(seed)
+    nz = max(1, int(np.sqrt(w)))  # LODA sparsity: ~sqrt(d) non-zeros
+    logdens = np.zeros(m)
+    for _ in range(n_projections):
+        proj = np.zeros(w)
+        idx = rng.choice(w, size=nz, replace=False)
+        proj[idx] = rng.standard_normal(nz)
+        z = mat @ proj
+        lo, hi = z.min(), z.max()
+        width = (hi - lo) / n_bins or 1.0
+        b = np.minimum(((z - lo) / width).astype(int), n_bins - 1)
+        counts = np.bincount(b, minlength=n_bins)
+        dens = counts[b] / (m * width)
+        logdens += np.log(dens + 1e-12)
+    return -logdens / n_projections, lefts
+
+
+_CORES["abod"] = abod_scores
+_CORES["loda"] = loda_scores

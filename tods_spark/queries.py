@@ -1840,3 +1840,19 @@ def trmf_embeddings_q(spark, sf_dir):
         _r4("series_latent_0").alias("series_latent_0"),
         _r4("series_latent_1").alias("series_latent_1"),
     )
+
+
+@register("detect_abod")  # rows-only: angle-variance kNN geometry
+def detect_abod_q(spark, sf_dir):
+    """PyodABOD FastABOD core — score = −var of weighted neighbor angles."""
+    s = _series(spark, sf_dir)
+    return DET.detect(s, "v", "abod", window_size=10, keys=["event_type"],
+                      order_col="window_start")
+
+
+@register("detect_loda")  # rows-only: seeded random projections
+def detect_loda_q(spark, sf_dir):
+    """pyod LODA core — random sparse projections + histogram densities."""
+    s = _series(spark, sf_dir)
+    return DET.detect(s, "v", "loda", window_size=10, keys=["event_type"],
+                      order_col="window_start")
