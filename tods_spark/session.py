@@ -52,16 +52,23 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 100k-row Arrow batches: the partial-digest/mapInPandas stages pay a
+        # fixed python+groupby cost per batch — 100k cut the raw->1m stage
+        # 33% vs 10k at 16M rows (and larger batches shuffle FEWER partial
+        # rows); ~3 MB/batch of (key, ts, value) stays tiny per worker
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # pin -Xms to -Xmx: G1 otherwise uncommits heap regions between
+        # (and size it to the JOB, not the box: a pinned 48g heap costs
+        # ~20s of extra first-touch faults per JVM on this kernel vs 24g —
+        # measured 48s vs 29s cold on the 16M-row rollup)
         # bursts, and this kernel's first-touch page faults are globally
         # serialized (~1 GB/s across ALL threads) — an unpinned heap makes
         # every allocation burst a kernel convoy at high parallelism
         # (measured: 32-thread tier write 59s unpinned vs 13s pinned)
         .config(
             "spark.driver.extraJavaOptions",
-            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
