@@ -162,3 +162,31 @@ def test_loda_deterministic_and_flags_outlier():
     s2, _ = DET.loda_scores(x, window_size=1, step=1)
     np.testing.assert_array_equal(s1, s2)
     assert s1[100] == s1.max()
+
+
+def test_multivariate_detect_combines_dimensions(spark):
+    """MultiAutoRegOD semantics: the combined score equals the weighted
+    average (resp. max / median) of the per-dimension univariate scores."""
+    x = _series_with_spike(seed=3)
+    y = _series_with_spike(seed=8, spike_at=120)
+    pdf = pd.DataFrame({"timestamp": range(len(x)), "a": x, "b": y})
+    sdf = spark.createDataFrame(pdf)
+
+    sa, lefts = DET.autoreg_scores(x, 10, 1)
+    sb, _ = DET.autoreg_scores(y, 10, 1)
+    for comb, exp in [
+        ("average", 0.25 * sa + 0.75 * sb),
+        ("maximization", np.maximum(sa, sb)),
+        ("median", np.median(np.stack([sa, sb]), axis=0)),
+    ]:
+        out = (
+            DET.detect_multivariate(
+                sdf, ["a", "b"], "autoreg", window_size=10,
+                combination=comb,
+                weights=[1, 3] if comb == "average" else None,
+            )
+            .orderBy("seg_id").toPandas()
+        )
+        np.testing.assert_allclose(out["score"], exp, rtol=1e-9, err_msg=comb)
+        th = np.percentile(exp, 90)
+        np.testing.assert_allclose(out["threshold"].iloc[0], th, rtol=1e-9)

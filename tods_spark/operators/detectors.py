@@ -316,3 +316,68 @@ def loda_scores(x: np.ndarray, window_size: int, step: int = 1,
 
 _CORES["abod"] = abod_scores
 _CORES["loda"] = loda_scores
+
+
+def detect_multivariate(
+    df: DataFrame,
+    value_cols: list[str],
+    method: str = "autoreg",
+    window_size: int = 10,
+    step: int = 1,
+    contamination: float = 0.1,
+    combination: str = "average",
+    weights: list[float] | None = None,
+    keys: list[str] | None = None,
+    order_col: str = "timestamp",
+    **params,
+) -> DataFrame:
+    """Multivariate windowed detection — core.MultiAutoRegOD semantics
+    (MultiAutoRegOD.py:17-120): run the univariate core per dimension,
+    combine per-window scores by weighted 'average' / 'maximization' /
+    'median', then threshold the COMBINED score with the CollectiveBase
+    percentile rule. Works with any registered core (autoreg/pca/knn/lof/
+    iforest/abod/loda), matching the reference's per-dimension fit."""
+    kern = _CORES[method]
+    keys = keys or []
+    wts = np.asarray(weights if weights is not None else [1.0] * len(value_cols),
+                     float)
+    wts = wts / wts.sum()
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        per_dim, lefts = [], None
+        for c in value_cols:
+            s, lefts = kern(pdf[c].to_numpy(float), window_size, step, **params)
+            per_dim.append(s)
+        S = np.stack(per_dim) if per_dim else np.empty((0, 0))
+        if combination == "average":
+            scores = (S * wts[:, None]).sum(axis=0)
+        elif combination == "maximization":
+            scores = S.max(axis=0)
+        elif combination == "median":
+            scores = np.median(S, axis=0)
+        else:
+            raise ValueError(combination)
+        n = len(pdf)
+        if len(scores):
+            th = np.percentile(scores, 100 * (1 - contamination))
+            labels = (scores > th).astype(int)
+        else:
+            th, labels = 0.0, np.array([], int)
+        out = pd.DataFrame({
+            "seg_id": np.arange(len(scores)),
+            "left_ind": lefts if lefts is not None else [],
+            "right_ind": np.minimum(
+                (lefts if lefts is not None else np.array([], int))
+                + window_size, n),
+            "score": scores, "threshold": th, "label": labels,
+        })
+        for k in keys:
+            out[k] = pdf[k].iloc[0]
+        return out[[*keys, "seg_id", "left_ind", "right_ind", "score",
+                    "threshold", "label"]]
+
+    key_fields = "".join(f"`{k}` string, " for k in keys)
+    schema = (f"{key_fields}seg_id long, left_ind long, right_ind long, "
+              "score double, threshold double, label int")
+    return grouped_apply(df, keys, fn, schema)

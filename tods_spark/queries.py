@@ -1856,3 +1856,21 @@ def detect_loda_q(spark, sf_dir):
     s = _series(spark, sf_dir)
     return DET.detect(s, "v", "loda", window_size=10, keys=["event_type"],
                       order_col="window_start")
+
+
+@register("detect_multivariate_avg")  # rows-only: per-dim OLS + combine
+def detect_multivariate_q(spark, sf_dir):
+    """core.MultiAutoRegOD (MultiAutoRegOD.py:17-120): univariate AutoReg
+    per dimension, weighted-average combination, percentile threshold on
+    the combined score. Dimensions here: the per-minute avg and the
+    per-minute count of each event_type series."""
+    ev = _events(spark, sf_dir)
+    s = (
+        ev.groupBy("event_type", F.window("ts", "1 minute").alias("w"))
+        .agg(F.avg("value").alias("v"), F.count(F.lit(1)).cast("double").alias("c"))
+        .select("event_type", F.col("w.start").alias("window_start"), "v", "c")
+    )
+    return DET.detect_multivariate(
+        s, ["v", "c"], "autoreg", window_size=10, combination="average",
+        keys=["event_type"], order_col="window_start",
+    )
