@@ -109,3 +109,25 @@ def test_verify_resume_detects_and_heals_drift(spark, tmp_path):
     r4 = run_tier(spark, raw, _compute, out, ckpt, job_id="v", tier="1m",
                   verify_resume=True)
     assert not r4["drifted"] and not r4["computed"]
+
+
+def test_manifest_snapshots(spark, tmp_path):
+    """Every partition overwrite appends a commit record (Iceberg-style
+    snapshot history); run_tier additionally attaches per-partition row
+    counts as an append-only stats record; the underscore-prefixed manifest
+    never pollutes parquet reads."""
+    raw = token_table(spark, 1500, partitions=2)
+    out = PartitionedTable(spark, str(tmp_path / "tbl"), ["part_key"])
+    ckpt = CheckpointLog(str(tmp_path / "ck.jsonl"))
+    run_tier(spark, raw, _compute, out, ckpt, job_id="m", tier="1m")
+    snaps = tbl_snaps = out.snapshots()
+    commits = [s for s in snaps if s["op"] == "overwrite_partitions"]
+    stats = [s for s in snaps if s["op"] == "stats"]
+    assert len(commits) == 1 and len(stats) == 1
+    assert stats[0]["for_snapshot"] == commits[0]["snapshot_id"]
+    assert sum(stats[0]["partitions"].values()) == out.read().count()
+    # second run: resume skips everything → no new commit
+    run_tier(spark, raw, _compute, out, ckpt, job_id="m", tier="1m")
+    assert len(out.snapshots()) == len(tbl_snaps)
+    # manifest is invisible to the parquet reader
+    assert out.read().count() > 0

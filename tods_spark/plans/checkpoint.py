@@ -169,13 +169,16 @@ def run_tier(
         result = compute(pending.drop(partition_col)).withColumn(
             partition_col, out_expr
         )
-        out_table.overwrite_partitions(result)
+        snapshot_id = out_table.overwrite_partitions(result)
         wall = time.time() - t0
         # stats from the WRITTEN bytes (read-back), not a recompute or a
         # .cache(): what's fingerprinted is exactly what resume would see
         # (and MemoryStore persists anti-scale on fault-convoy kernels)
         written = out_table.read().filter(F.col(partition_col).isin(todo))
         stats = _per_partition_stats(written, partition_col)
+        out_table.annotate_snapshot(
+            snapshot_id, {p: stats.get(p, (0, 0))[0] for p in todo}
+        )
         for p in todo:
             n_out, fp = stats.get(p, (0, 0))
             ckpt.mark(

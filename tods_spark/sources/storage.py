@@ -33,15 +33,55 @@ class PartitionedTable:
             not f.startswith("_") for f in os.listdir(self.path)
         )
 
-    def overwrite_partitions(self, df: DataFrame) -> None:
+    def overwrite_partitions(self, df: DataFrame,
+                             partitions: dict | None = None) -> str:
         """Replace exactly the partitions present in `df` (idempotent: a
-        re-run of the same partition converges to the same state)."""
+        re-run of the same partition converges to the same state), and
+        append a snapshot record to the manifest log — the Iceberg-style
+        commit history. Pass `partitions` ({partition value: row count})
+        when the caller already computed per-partition stats (run_tier
+        does, from its read-back) — the write path itself NEVER recomputes
+        `df` for bookkeeping."""
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*self.partition_cols)
             .parquet(self.path)
         )
+        return self._append_snapshot(
+            op="overwrite_partitions",
+            partitions=dict(partitions) if partitions else None,
+        )
+
+    def _append_snapshot(self, **record) -> str:
+        import json
+        import time
+        import uuid
+
+        record.setdefault("snapshot_id", uuid.uuid4().hex[:16])
+        record.setdefault("ts", time.time())
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "_manifest.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
+        return record["snapshot_id"]
+
+    def annotate_snapshot(self, snapshot_id: str, partitions: dict) -> None:
+        """Append-only stats record for a committed snapshot (callers that
+        compute per-partition counts AFTER the commit — run_tier does, from
+        its read-back — attach them here instead of recomputing the input
+        inside the write path)."""
+        self._append_snapshot(op="stats", for_snapshot=snapshot_id,
+                              partitions=dict(partitions))
+
+    def snapshots(self) -> list[dict]:
+        """Commit history, oldest first (empty for never-written tables)."""
+        import json
+
+        mf = os.path.join(self.path, "_manifest.jsonl")
+        if not os.path.exists(mf):
+            return []
+        with open(mf) as f:
+            return [json.loads(line) for line in f if line.strip()]
 
     def append(self, df: DataFrame) -> None:
         df.write.mode("append").partitionBy(*self.partition_cols).parquet(self.path)
