@@ -27,6 +27,12 @@ Each returns one row per window: (keys, seg_id, left_ind, right_ind, score)
 plus thresholded label via the CollectiveBase percentile rule
 (CollectiveBase.py:329-345). Scores are computed inside one Arrow batch per
 series; group size is bounded by the series key (doc/day at engine scale).
+
+SCALE NOTE: the kNN-family cores (knn/lof/abod) are O(m²) memory/compute in
+the number of windows per GROUP — identical to their pyod/sklearn
+counterparts. The engine contract is that the grouping key bounds m (a
+source-day at 1m resolution is 1440 windows); feeding one unbounded series
+through them is the same mistake as calling sklearn on it.
 """
 
 from __future__ import annotations
