@@ -1354,7 +1354,33 @@ def window_indices_w10_s5(spark, sf_dir):
                                order_col="window_start")
 
 
-@register("ses_smoothing")  # rows-only: recurrence, not SQL-expressible
+# smoothing recurrences DO have SQL twins: a per-key RECURSIVE CTE carries
+# the level/trend state row-to-row with the EXACT operation order of the
+# numpy kernels (constants embedded via repr so both engines multiply the
+# same doubles) — prototyped bitwise-equal over 2000 steps.
+_SES_A, _SES_B = 0.2, 1 - 0.2
+_SES_SQL = f"""
+WITH RECURSIVE {_SERIES_SQL},
+o AS (
+  SELECT event_type, window_start, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY window_start)
+           AS rn
+  FROM series
+),
+s AS (
+  SELECT event_type, window_start, rn, v, v AS level, v AS fitted
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.window_start, o.rn, o.v,
+         {_SES_A!r}*o.v + {_SES_B!r}*s.level AS level,
+         s.level AS fitted
+  FROM s JOIN o ON o.event_type = s.event_type AND o.rn = s.rn + 1
+)
+SELECT event_type, window_start, round(fitted + 1e-9, 4) AS v_ses FROM s
+"""
+
+
+@register("ses_smoothing", _SES_SQL)
 def ses_smoothing_q(spark, sf_dir):
     s = _series(spark, sf_dir)
     out = SMOP.smooth(s, ["v"], "simple_exponential_smoothing",
@@ -1363,7 +1389,39 @@ def ses_smoothing_q(spark, sf_dir):
                       _r4("v_simple_exponential_smoothing").alias("v_ses"))
 
 
-@register("holt_smoothing")  # rows-only: recurrence
+_H_A, _H_B = 0.2, 0.2
+_HOLT_SQL = f"""
+WITH RECURSIVE {_SERIES_SQL},
+o AS (
+  SELECT event_type, window_start, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY window_start)
+           AS rn,
+         lead(v) OVER (PARTITION BY event_type ORDER BY window_start)
+           AS vnext
+  FROM series
+),
+s AS (
+  SELECT event_type, window_start, rn, v,
+         v + coalesce(vnext - v, 0.0) AS fitted,
+         {_H_A!r}*v + {1 - _H_A!r}*(v + coalesce(vnext - v, 0.0)) AS level,
+         {_H_B!r}*(({_H_A!r}*v + {1 - _H_A!r}*(v + coalesce(vnext - v, 0.0)))
+                   - v)
+           + {1 - _H_B!r}*coalesce(vnext - v, 0.0) AS trend
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.window_start, o.rn, o.v,
+         s.level + s.trend AS fitted,
+         {_H_A!r}*o.v + {1 - _H_A!r}*(s.level + s.trend) AS level,
+         {_H_B!r}*(({_H_A!r}*o.v + {1 - _H_A!r}*(s.level + s.trend))
+                   - s.level)
+           + {1 - _H_B!r}*s.trend AS trend
+  FROM s JOIN o ON o.event_type = s.event_type AND o.rn = s.rn + 1
+)
+SELECT event_type, window_start, round(fitted + 1e-9, 4) AS v_holt FROM s
+"""
+
+
+@register("holt_smoothing", _HOLT_SQL)
 def holt_smoothing_q(spark, sf_dir):
     s = _series(spark, sf_dir)
     out = SMOP.smooth(s, ["v"], "holt_smoothing", keys=["event_type"],
@@ -1380,11 +1438,40 @@ def spectral_residual_q(spark, sf_dir):
     return out.select("event_type", "window_start", "v_spectral_residual")
 
 
-@register("auto_correlation_nlags20")  # rows-only: per-series ACF
+@register(
+    "auto_correlation_nlags20",
+    f"""
+WITH {_SERIES_SQL},
+st AS (SELECT event_type, avg(v) AS mu FROM series GROUP BY 1),
+c AS (
+  SELECT s.event_type,
+         row_number() OVER (PARTITION BY s.event_type
+                            ORDER BY s.window_start) - 1 AS rn,
+         s.v - st.mu AS yc
+  FROM series s JOIN st ON s.event_type = st.event_type
+),
+den AS (SELECT event_type, sum(yc * yc) AS d FROM c GROUP BY 1),
+num AS (
+  SELECT a.event_type, l.lag, sum(a.yc * b.yc) AS s
+  FROM c a
+  JOIN (SELECT unnest(range(21)) AS lag) l ON true
+  JOIN c b ON b.event_type = a.event_type AND b.rn = a.rn + l.lag
+  GROUP BY 1, 2
+)
+SELECT n.event_type, CAST(n.lag AS INT) AS lag,
+       round(n.s / (CASE WHEN den.d = 0 THEN 1.0 ELSE den.d END) + 1e-9, 4)
+         AS v_acf
+FROM num n JOIN den ON n.event_type = den.event_type
+""",
+)
 def auto_correlation_q(spark, sf_dir):
+    """Biased ACF r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)² — the SQL twin
+    computes the same two-pass formula via a lagged self-join
+    (AutoCorrelation.py → statsmodels acf, adjusted=False)."""
     s = _series(spark, sf_dir)
-    return SPOP.auto_correlation(s, ["v"], nlags=20, keys=["event_type"],
-                                 order_col="window_start")
+    out = SPOP.auto_correlation(s, ["v"], nlags=20, keys=["event_type"],
+                                order_col="window_start")
+    return out.select("event_type", "lag", _r4("v_acf").alias("v_acf"))
 
 
 @register(
@@ -1798,13 +1885,42 @@ def dct_transform_q(spark, sf_dir):
                                    order_col="window_start")
 
 
-@register("bk_filter_cycle")  # rows-only: Baxter-King bandpass convolution
+def _bk_sql() -> str:
+    """BK bandpass = symmetric 25-tap weighted window — the twin inlines
+    the exact weights (repr round-trip) and dots them against the centered
+    frame; the k-row NaN edges are trimmed on BOTH sides (statsmodels
+    trims them too). Prototyped ≤ 4e-15 vs np.convolve."""
+    w = SPOP.bk_weights(6, 32, 12)
+    wlit = ", ".join(repr(float(x)) for x in w)
+    return f"""
+WITH {_SERIES_SQL},
+b AS (
+  SELECT event_type, window_start,
+         row_number() OVER win AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         list(v) OVER (PARTITION BY event_type ORDER BY window_start
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS arr
+  FROM series
+  WINDOW win AS (PARTITION BY event_type ORDER BY window_start)
+)
+SELECT event_type, window_start,
+       round(list_dot_product(arr, [{wlit}]) + 1e-9, 4) AS v_bk
+FROM b WHERE rn > 12 AND rn <= n - 12
+"""
+
+
+@register("bk_filter_cycle", _bk_sql())
 def bk_filter_q(spark, sf_dir):
-    """BKFilter.py:197 — per-series Baxter-King bandpass (NaN edges kept,
-    matching statsmodels' trimmed window)."""
+    """BKFilter.py:197 — per-series Baxter-King bandpass; the NaN edge rows
+    (k = 12 each side, statsmodels' trimmed window) are filtered so both
+    engines compare the defined interior."""
     s = _series(spark, sf_dir)
-    return SPOP.spectral_transform(s, ["v"], "bk_filter", keys=["event_type"],
-                                   order_col="window_start")
+    out = SPOP.spectral_transform(s, ["v"], "bk_filter", keys=["event_type"],
+                                  order_col="window_start")
+    # the kernel's NaN edges surface as NULLs after the Arrow round-trip
+    return out.filter(
+        F.col("v_bk_filter").isNotNull() & ~F.isnan("v_bk_filter")
+    ).select("event_type", "window_start", _r4("v_bk_filter").alias("v_bk"))
 
 
 @register("nmf_latent")  # rows-only: iterative multiplicative updates
