@@ -1538,11 +1538,113 @@ def detect_knn_q(spark, sf_dir):
                       order_col="window_start")
 
 
-@register("hp_filter_trend")  # rows-only: pentadiagonal solve, not SQL
+def _hp_sql(lam: float = 1600.0) -> str:
+    """DuckDB twin of the O(n) banded-Cholesky HP filter: three chained
+    per-key RECURSIVE CTEs (Cholesky factor → forward substitution →
+    back substitution) replicating functions/filters.hp_filter's exact
+    operation order. λ is CAST to DOUBLE everywhere — a bare DuckDB float
+    literal is DECIMAL and its scale-limited arithmetic silently corrupts
+    the recursion. Prototyped BITWISE-equal to the kernel over 500 steps."""
+    L = f"CAST({lam!r} AS DOUBLE)"
+    return f"""
+WITH RECURSIVE {_SERIES_SQL},
+o AS MATERIALIZED (
+  SELECT event_type, window_start, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY window_start)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM series
+),
+m AS MATERIALIZED (
+  SELECT event_type, rn, v,
+         CASE WHEN rn = 1 OR rn = n THEN 1 + {L}
+              WHEN rn = 2 OR rn = n - 1 THEN 1 + 5*{L}
+              ELSE 1 + 6*{L} END AS main,
+         CASE WHEN rn = 1 OR rn = n - 1 THEN -2*{L}
+              WHEN rn < n THEN -4*{L} END AS off1,
+         CASE WHEN rn <= n - 2 THEN {L} END AS off2
+  FROM o
+),
+chol AS (
+  SELECT m2.event_type, 2 AS rn,
+         m1.main AS dp, m1.off2 / m1.main AS l2p,
+         m2.main - (m1.off1/m1.main) * (m1.off1/m1.main) * m1.main AS d,
+         (m2.off1 - (m1.off2/m1.main) * (m1.off1/m1.main) * m1.main)
+           / (m2.main - (m1.off1/m1.main) * (m1.off1/m1.main) * m1.main) AS l1,
+         m2.off2
+           / (m2.main - (m1.off1/m1.main) * (m1.off1/m1.main) * m1.main) AS l2
+  FROM m m1
+  JOIN m m2 ON m1.event_type = m2.event_type AND m1.rn = 1 AND m2.rn = 2
+  UNION ALL
+  SELECT m.event_type, m.rn, c.d, c.l2,
+         m.main - c.l1*c.l1*c.d - c.l2p*c.l2p*c.dp AS d,
+         (m.off1 - c.l2 * c.l1 * c.d)
+           / (m.main - c.l1*c.l1*c.d - c.l2p*c.l2p*c.dp) AS l1,
+         m.off2 / (m.main - c.l1*c.l1*c.d - c.l2p*c.l2p*c.dp) AS l2
+  FROM chol c JOIN m ON m.event_type = c.event_type AND m.rn = c.rn + 1
+),
+coefs AS MATERIALIZED (
+  SELECT event_type, 1 AS rn, main AS d, off1 / main AS l1, off2 / main AS l2
+  FROM m WHERE rn = 1
+  UNION ALL SELECT event_type, rn, d, l1, l2 FROM chol
+),
+fwd AS (
+  SELECT o2.event_type, 2 AS rn, o1.v AS zp, o2.v - c1.l1 * o1.v AS z
+  FROM o o1
+  JOIN o o2 ON o1.event_type = o2.event_type AND o1.rn = 1 AND o2.rn = 2
+  JOIN coefs c1 ON c1.event_type = o1.event_type AND c1.rn = 1
+  UNION ALL
+  SELECT o.event_type, o.rn, f.z,
+         o.v - cprev.l1 * f.z - cpp.l2 * f.zp AS z
+  FROM fwd f
+  JOIN o ON o.event_type = f.event_type AND o.rn = f.rn + 1
+  JOIN coefs cprev ON cprev.event_type = f.event_type AND cprev.rn = f.rn
+  JOIN coefs cpp ON cpp.event_type = f.event_type AND cpp.rn = f.rn - 1
+),
+zd AS MATERIALIZED (
+  SELECT o.event_type, 1 AS rn, o.v / c.d AS zd
+  FROM o JOIN coefs c ON c.event_type = o.event_type AND c.rn = 1
+  WHERE o.rn = 1
+  UNION ALL
+  SELECT f.event_type, f.rn, f.z / c.d
+  FROM fwd f JOIN coefs c ON c.event_type = f.event_type AND c.rn = f.rn
+),
+nn AS MATERIALIZED (SELECT event_type, max(rn) AS n FROM o GROUP BY 1),
+bwd AS (
+  SELECT nn.event_type, nn.n - 1 AS rn, z1.zd AS tnext,
+         z2.zd - c.l1 * z1.zd AS t
+  FROM nn
+  JOIN zd z1 ON z1.event_type = nn.event_type AND z1.rn = nn.n
+  JOIN zd z2 ON z2.event_type = nn.event_type AND z2.rn = nn.n - 1
+  JOIN coefs c ON c.event_type = nn.event_type AND c.rn = nn.n - 1
+  UNION ALL
+  SELECT b.event_type, b.rn - 1, b.t,
+         z.zd - c.l1 * b.t - c.l2 * b.tnext AS t
+  FROM bwd b
+  JOIN zd z ON z.event_type = b.event_type AND z.rn = b.rn - 1
+  JOIN coefs c ON c.event_type = b.event_type AND c.rn = b.rn - 1
+  WHERE b.rn >= 2
+),
+tall AS (
+  SELECT nn.event_type, nn.n AS rn, z.zd AS t
+  FROM nn JOIN zd z ON z.event_type = nn.event_type AND z.rn = nn.n
+  UNION ALL SELECT event_type, rn, t FROM bwd
+)
+SELECT o.event_type, o.window_start, round(t.t + 1e-9, 4) AS v_hp_trend
+FROM tall t
+JOIN o ON o.event_type = t.event_type AND o.rn = t.rn
+"""
+
+
+@register("hp_filter_trend", _hp_sql())
 def hp_filter_trend_q(spark, sf_dir):
+    """HPFilter.py:169,320-332 — trend component via the O(n) banded
+    Cholesky solve; the SQL twin replays the identical three recurrences."""
     s = _series(spark, sf_dir)
-    return SPOP.spectral_transform(s, ["v"], "hp_trend", keys=["event_type"],
-                                   order_col="window_start")
+    out = SPOP.spectral_transform(s, ["v"], "hp_trend", keys=["event_type"],
+                                  order_col="window_start")
+    return out.select("event_type", "window_start",
+                      _r4("v_hp_trend").alias("v_hp_trend"))
 
 
 @register("wavelet_denoise")  # rows-only: multilevel DWT, not SQL
