@@ -1647,11 +1647,90 @@ def hp_filter_trend_q(spark, sf_dir):
                       _r4("v_hp_trend").alias("v_hp_trend"))
 
 
-@register("wavelet_denoise")  # rows-only: multilevel DWT, not SQL
+def _wavelet_sql(level: int = 5, thr: float = 0.5) -> str:
+    """DuckDB twin of the Haar denoise: `level` forward DWT levels as list
+    transforms (odd lengths padded with the last element, like the
+    kernel's symmetric pad), hard-threshold the detail coefficients,
+    inverse levels, truncate to the original length. Pure list arithmetic
+    with the kernel's exact op order — prototyped BITWISE-equal including
+    the odd-length path. √2 embedded via repr; 0.0 CAST to DOUBLE (bare
+    DuckDB float literals are DECIMAL)."""
+    s2 = repr(float(__import__("numpy").sqrt(2.0)))
+    parts = ["""base AS (
+  SELECT event_type, list(v ORDER BY window_start) AS a,
+         []::DOUBLE[][] AS dds,
+         count(*) AS n
+  FROM series GROUP BY event_type
+)"""]
+    src = "base"
+    for lvl in range(1, level + 1):
+        parts.append(f"""l{lvl} AS (
+  SELECT event_type, n,
+    CASE WHEN len(a) % 2 = 1 THEN list_append(a, a[len(a)]) ELSE a END AS ap,
+    dds
+  FROM {src}
+),
+f{lvl} AS (
+  SELECT event_type, n,
+    list_transform(range(len(ap) // 2),
+                   i -> (ap[2*i + 1] + ap[2*i + 2]) / {s2}) AS a,
+    list_append(dds,
+      list_transform(range(len(ap) // 2),
+                     i -> (ap[2*i + 1] - ap[2*i + 2]) / {s2})) AS dds
+  FROM l{lvl}
+)""")
+        src = f"f{lvl}"
+    parts.append(f"""th AS (
+  SELECT event_type, n, a,
+    list_transform(dds, dl ->
+      list_transform(dl, x -> CASE WHEN abs(x) > {thr!r} THEN x
+                                   ELSE CAST(0.0 AS DOUBLE) END)) AS dds
+  FROM f{level}
+)""")
+    src = "th"
+    for lvl in range(level, 0, -1):
+        parts.append(f"""i{lvl} AS (
+  SELECT event_type, n,
+    list_transform(range(2 * len(dds[{lvl}])),
+      j -> CASE WHEN j % 2 = 0
+                THEN (a[j // 2 + 1] + dds[{lvl}][j // 2 + 1]) / {s2}
+                ELSE (a[(j - 1) // 2 + 1] - dds[{lvl}][(j - 1) // 2 + 1]) / {s2}
+           END) AS a,
+    dds
+  FROM {src}
+)""")
+        src = f"i{lvl}"
+    return f"""
+WITH {_SERIES_SQL},
+{",".join(parts)},
+flat AS (
+  SELECT event_type,
+         unnest(a[1:n]) AS val,
+         unnest(range(1, n + 1)) AS rn
+  FROM {src}
+),
+ordered AS (
+  SELECT event_type, window_start,
+         row_number() OVER (PARTITION BY event_type ORDER BY window_start)
+           AS rn
+  FROM series
+)
+SELECT o.event_type, o.window_start,
+       round(f.val + 1e-9, 4) AS v_wavelet_denoise
+FROM flat f JOIN ordered o ON o.event_type = f.event_type AND o.rn = f.rn
+"""
+
+
+@register("wavelet_denoise", _wavelet_sql(level=5, thr=0.5))
 def wavelet_denoise_q(spark, sf_dir):
+    """WaveletTransform.py:459-508 (Haar) — 5-level DWT, hard threshold
+    0.5 on detail coefficients, inverse reconstruct."""
     s = _series(spark, sf_dir)
-    return SPOP.spectral_transform(s, ["v"], "wavelet_denoise", threshold=0.5,
-                                   keys=["event_type"], order_col="window_start")
+    out = SPOP.spectral_transform(s, ["v"], "wavelet_denoise", threshold=0.5,
+                                  level=5, keys=["event_type"],
+                                  order_col="window_start")
+    return out.select("event_type", "window_start",
+                      _r4("v_wavelet_denoise").alias("v_wavelet_denoise"))
 
 
 @register("yeo_johnson")  # rows-only: MLE lambda fit, not SQL
