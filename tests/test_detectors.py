@@ -165,8 +165,10 @@ def test_loda_deterministic_and_flags_outlier():
 
 
 def test_multivariate_detect_combines_dimensions(spark):
-    """MultiAutoRegOD semantics: the combined score equals the weighted
-    average (resp. max / median) of the per-dimension univariate scores."""
+    """MultiAutoRegOD semantics: per-dimension scores are z-standardized
+    (MultiAutoRegOD.py:150-152, combo standardizer) and the combined score
+    equals the weighted average (resp. max / median) of the standardized
+    per-dimension univariate scores."""
     x = _series_with_spike(seed=3)
     y = _series_with_spike(seed=8, spike_at=120)
     pdf = pd.DataFrame({"timestamp": range(len(x)), "a": x, "b": y})
@@ -174,6 +176,8 @@ def test_multivariate_detect_combines_dimensions(spark):
 
     sa, lefts = DET.autoreg_scores(x, 10, 1)
     sb, _ = DET.autoreg_scores(y, 10, 1)
+    sa = (sa - sa.mean()) / sa.std()
+    sb = (sb - sb.mean()) / sb.std()
     for comb, exp in [
         ("average", 0.25 * sa + 0.75 * sb),
         ("maximization", np.maximum(sa, sb)),

@@ -184,6 +184,26 @@ def test_hbos_density_scores(spark):
     assert sparse > dense
 
 
+def test_hbos_constant_group_is_finite(spark):
+    """A key group with constant values (hi == lo → zero bin width) gets
+    np.histogram's unit-width single-bin semantics: density 1.0, score
+    log2(1/(1+alpha)) — finite, not inf/null."""
+    import numpy as np
+    import pandas as pd
+
+    from tods_spark.operators.detection import hbos_scores
+
+    pdf = pd.DataFrame({
+        "value": [7.0] * 5 + [1.0, 2.0, 3.0],
+        "k": ["const"] * 5 + ["vary"] * 3,
+    })
+    out = hbos_scores(spark.createDataFrame(pdf), "value", keys=["k"],
+                      n_bins=10, alpha=0.1).toPandas()
+    const = out[out["k"] == "const"]["hbos_score"]
+    assert np.isfinite(out["hbos_score"]).all()
+    np.testing.assert_allclose(const, np.log2(1 / 1.1), rtol=1e-12)
+
+
 def test_nmf_factorizes_and_reconstructs(spark):
     """NMF core: W,H non-negative, reconstruction error small on a true
     low-rank non-negative matrix; Spark windowed operator is deterministic

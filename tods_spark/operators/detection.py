@@ -213,14 +213,20 @@ def hbos_scores(
         F.broadcast(rng)
     )
     width = (F.col("__hi__") - F.col("__lo__")) / n_bins
+    # try_divide: a constant group has width 0 and lands in bin 0 via the
+    # coalesce below (ANSI mode raises on plain division by zero)
     bin_ = F.least(
-        F.floor((v - F.col("__lo__")) / width).cast("int"), F.lit(n_bins - 1)
+        F.floor(F.try_divide(v - F.col("__lo__"), width)).cast("int"),
+        F.lit(n_bins - 1),
     )
     binned = joined.withColumn("bin", F.coalesce(bin_, F.lit(0)))
     hist = binned.groupBy(*keys, "bin").agg(F.count(F.lit(1)).alias("__cnt__"))
+    # constant group (hi == lo): np.histogram uses range (v-0.5, v+0.5), i.e.
+    # ONE unit-width bin holding all mass — density 1.0, not inf/null
     out = binned.join(hist, [*keys, "bin"]).withColumn(
         "density",
-        F.col("__cnt__") / F.col("__n__") / width,
+        F.when(width > 0, F.col("__cnt__") / F.col("__n__") / width)
+        .otherwise(F.lit(1.0)),
     )
     return out.withColumn(
         "hbos_score",

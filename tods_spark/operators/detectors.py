@@ -335,14 +335,18 @@ def detect_multivariate(
     weights: list[float] | None = None,
     keys: list[str] | None = None,
     order_col: str = "timestamp",
+    standardize: bool = True,
     **params,
 ) -> DataFrame:
     """Multivariate windowed detection — core.MultiAutoRegOD semantics
     (MultiAutoRegOD.py:17-120): run the univariate core per dimension,
-    combine per-window scores by weighted 'average' / 'maximization' /
-    'median', then threshold the COMBINED score with the CollectiveBase
-    percentile rule. Works with any registered core (autoreg/pca/knn/lof/
-    iforest/abod/loda), matching the reference's per-dimension fit."""
+    z-standardize the per-dimension score matrix (MultiAutoRegOD.py:150-152,
+    combo standardizer = StandardScaler, ddof=0 — without it a large-scale
+    dimension dominates the combination), combine per-window scores by
+    weighted 'average' / 'maximization' / 'median', then threshold the
+    COMBINED score with the CollectiveBase percentile rule. Works with any
+    registered core (autoreg/pca/knn/lof/iforest/abod/loda), matching the
+    reference's per-dimension fit."""
     kern = _CORES[method]
     keys = keys or []
     wts = np.asarray(weights if weights is not None else [1.0] * len(value_cols),
@@ -356,6 +360,9 @@ def detect_multivariate(
             s, lefts = kern(pdf[c].to_numpy(float), window_size, step, **params)
             per_dim.append(s)
         S = np.stack(per_dim) if per_dim else np.empty((0, 0))
+        if standardize and S.size:
+            mu, sd = S.mean(axis=1, keepdims=True), S.std(axis=1, keepdims=True)
+            S = (S - mu) / np.where(sd == 0, 1.0, sd)
         if combination == "average":
             scores = (S * wts[:, None]).sum(axis=0)
         elif combination == "maximization":

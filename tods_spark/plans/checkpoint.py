@@ -146,7 +146,10 @@ def run_tier(
         )
         actual = _per_partition_stats(written, partition_col)
         for p in skipped:
-            if actual.get(p) != recorded.get(p):
+            # a legitimately-empty partition has NO group in the read-back
+            # stats but was recorded as (0, 0) — default the read-back side
+            # so it isn't flagged drifted (and recomputed) on every resume
+            if actual.get(p, (0, 0)) != recorded.get(p):
                 drifted.append(p)
         if drifted:
             todo = sorted(todo + drifted)

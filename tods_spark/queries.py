@@ -1568,8 +1568,11 @@ pd2 AS (
   JOIN wins b ON a.event_type = b.event_type AND a.left_ind != b.left_ind
 ),
 scores AS (
-  SELECT event_type, left_ind, sqrt(list_sort(list(d2))[{k}]) AS score
-  FROM pd2 GROUP BY 1, 2
+  -- least(k, len) mirrors the engine's k = min(n_neighbors, m-1) clamp
+  -- for groups with <= k other windows
+  SELECT event_type, left_ind, sqrt(l[least({k}, len(l))]) AS score
+  FROM (SELECT event_type, left_ind, list_sort(list(d2)) AS l
+        FROM pd2 GROUP BY 1, 2)
 ),
 th AS (
   SELECT event_type, quantile_cont(score, {1 - contamination!r}) AS t
@@ -1981,7 +1984,8 @@ hist AS (
   SELECT event_type, bin, count(*) AS cnt FROM binned GROUP BY 1, 2
 )
 SELECT b.event_id, b.event_type, b.bin,
-       round(log2(1.0 / (h.cnt / b.n / b.width + 0.1)) + 1e-9, 4)
+       round(log2(1.0 / (CASE WHEN b.width > 0 THEN h.cnt / b.n / b.width
+                              ELSE 1.0 END + 0.1)) + 1e-9, 4)
          AS hbos_score
 FROM binned b JOIN hist h ON b.event_type = h.event_type AND b.bin = h.bin
 """,
