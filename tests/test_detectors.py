@@ -36,6 +36,22 @@ def test_detectors_find_planted_spike(spark, method):
     np.testing.assert_allclose(out["threshold"].iloc[0], th, rtol=1e-9)
 
 
+def test_quadratic_kernel_group_guard(spark):
+    """The O(m²) kernels refuse an unbounded group with a re-keying hint
+    instead of building an m×m distance matrix (scale contract)."""
+    n = 50
+    pdf = pd.DataFrame({"timestamp": range(n), "value": np.sin(np.arange(n))})
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="max_group_size.*re-key"):
+        DET.detect(sdf, "value", "knn", window_size=5,
+                   max_group_size=10).count()
+    # linear kernels are not guarded by default
+    assert DET.detect(sdf, "value", "autoreg", window_size=5).count() > 0
+    # and an explicitly raised guard admits the group
+    assert DET.detect(sdf, "value", "knn", window_size=5,
+                      max_group_size=1000).count() > 0
+
+
 def test_autoreg_matches_numpy_ols(spark):
     x = _series_with_spike(n=120, spike_at=80)
     pdf = pd.DataFrame({"timestamp": range(len(x)), "value": x})

@@ -131,6 +131,15 @@ def lof_scores(x: np.ndarray, window_size: int, step: int = 1,
 _CORES = {"autoreg": autoreg_scores, "pca": pca_scores, "knn": knn_scores,
           "lof": lof_scores}
 
+# kernels whose per-group cost/memory is quadratic in the window count m
+# (pairwise-distance matrices) — these REQUIRE a time-bounded grouping key
+_QUADRATIC = {"knn", "lof", "abod"}
+
+# default hard ceiling for quadratic kernels: 20k windows ≈ 3.2 GB of f64
+# pairwise distances per Arrow group — beyond that the group must be split,
+# not silently OOMed (a source-day at 1m resolution is 1,440 windows)
+MAX_QUADRATIC_GROUP = 20_000
+
 
 def detect(
     df: DataFrame,
@@ -141,14 +150,30 @@ def detect(
     contamination: float = 0.1,
     keys: list[str] | None = None,
     order_col: str = "timestamp",
+    max_group_size: int | None = None,
     **params,
 ) -> DataFrame:
     """Per-series windowed anomaly detection. Output: one row per window
-    with score + percentile-thresholded label (CollectiveBase.py:340-345)."""
+    with score + percentile-thresholded label (CollectiveBase.py:340-345).
+
+    For the quadratic kernels (knn/lof/abod) a group larger than
+    ``max_group_size`` (default MAX_QUADRATIC_GROUP) raises instead of
+    building an m×m distance matrix: re-key the input by a time-bounded
+    key such as (series, day)."""
     kern = _CORES[method]
     keys = keys or []
+    guard = max_group_size if max_group_size is not None else (
+        MAX_QUADRATIC_GROUP if method in _QUADRATIC else None
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if guard is not None and len(pdf) > guard:
+            gk = {k: pdf[k].iloc[0] for k in keys}
+            raise ValueError(
+                f"detect(method={method!r}): group {gk} has {len(pdf)} rows "
+                f"> max_group_size={guard}; this kernel is O(m²) per group — "
+                "re-key by a time-bounded key, e.g. (series, day)"
+            )
         pdf = pdf.sort_values(order_col)
         x = pdf[value_col].to_numpy(float)
         scores, lefts = kern(x, window_size, step, **params)

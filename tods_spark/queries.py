@@ -224,6 +224,27 @@ def _series(spark, sf_dir):
     )
 
 
+def _series_day(spark, sf_dir):
+    """Per-minute series with a `day` grouping column — the time-bounded
+    key the quadratic detector kernels require (a day at 1m resolution is
+    ≤1,440 windows per group, so the O(m²) kernels stay O(1440²) at ANY
+    data scale; keying by event_type alone grows m linearly with data)."""
+    return _series(spark, sf_dir).withColumn(
+        "day", F.date_format("window_start", "yyyy-MM-dd")
+    )
+
+
+_SERIES_DAY_SQL = """
+series AS (
+  SELECT event_type,
+         strftime(time_bucket(INTERVAL '1 minute', ts), '%Y-%m-%d') AS day,
+         time_bucket(INTERVAL '1 minute', ts) AS window_start,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2, 3
+)
+"""
+
+
 def _stat_sql(raw_expr: str, w: int, out: str, round4: bool = True) -> str:
     """Trailing frame + reference backfill (out[:w-1] = out[w-1]) in SQL."""
     val = (
@@ -1537,24 +1558,26 @@ def _knn_sql(w: int = 10, k: int = 5, contamination: float = 0.1) -> str:
     pairwise d² = sq_a + sq_b − 2·dot with the same greatest(…, 0) clamp,
     k-th smallest via list_sort, percentile threshold, label. Monotone
     sqrt-then-kth == kth-then-sqrt; prototyped value-exact vs the numpy
-    kernel at sf0.01 (scores, thresholds AND labels)."""
+    kernel at sf0.01 (scores, thresholds AND labels). Grouped by
+    (event_type, day) — the time-bounded key that keeps the O(m²) kernel
+    O(1440²) per group at any scale."""
     leads = ",\n         ".join(
-        f"lead(v, {j}) OVER (PARTITION BY event_type ORDER BY rn) AS v{j}"
+        f"lead(v, {j}) OVER (PARTITION BY event_type, day ORDER BY rn) AS v{j}"
         for j in range(w)
     )
     dot = " + ".join(f"a.v{j}*b.v{j}" for j in range(w))
     sq = " + ".join(f"v{j}*v{j}" for j in range(w))
     return f"""
-WITH {_SERIES_SQL},
+WITH {_SERIES_DAY_SQL},
 o AS (
-  SELECT event_type, v,
-         row_number() OVER (PARTITION BY event_type ORDER BY window_start)
-           - 1 AS rn,
-         count(*) OVER (PARTITION BY event_type) AS n
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY window_start) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type, day) AS n
   FROM series
 ),
 win AS (
-  SELECT event_type, rn AS left_ind, n,
+  SELECT event_type, day, rn AS left_ind, n,
          {leads}
   FROM o
 ),
@@ -1562,42 +1585,51 @@ wins AS (
   SELECT *, {sq} AS sq FROM win WHERE left_ind <= n - {w}
 ),
 pd2 AS (
-  SELECT a.event_type, a.left_ind,
+  SELECT a.event_type, a.day, a.left_ind,
          greatest(a.sq + b.sq - 2*({dot}), 0) AS d2
   FROM wins a
-  JOIN wins b ON a.event_type = b.event_type AND a.left_ind != b.left_ind
+  JOIN wins b ON a.event_type = b.event_type AND a.day = b.day
+             AND a.left_ind != b.left_ind
 ),
-scores AS (
+ps AS (
   -- least(k, len) mirrors the engine's k = min(n_neighbors, m-1) clamp
   -- for groups with <= k other windows
-  SELECT event_type, left_ind, sqrt(l[least({k}, len(l))]) AS score
-  FROM (SELECT event_type, left_ind, list_sort(list(d2)) AS l
-        FROM pd2 GROUP BY 1, 2)
+  SELECT event_type, day, left_ind, sqrt(l[least({k}, len(l))]) AS score
+  FROM (SELECT event_type, day, left_ind, list_sort(list(d2)) AS l
+        FROM pd2 GROUP BY 1, 2, 3)
+),
+scores AS (
+  -- LEFT JOIN back to all windows: a single-window group has no pairs but
+  -- the engine still emits it with score 0 (knn_scores m<=1 branch)
+  SELECT w.event_type, w.day, w.left_ind, coalesce(ps.score, 0.0) AS score
+  FROM wins w
+  LEFT JOIN ps ON ps.event_type = w.event_type AND ps.day = w.day
+              AND ps.left_ind = w.left_ind
 ),
 th AS (
-  SELECT event_type, quantile_cont(score, {1 - contamination!r}) AS t
-  FROM scores GROUP BY 1
+  SELECT event_type, day, quantile_cont(score, {1 - contamination!r}) AS t
+  FROM scores GROUP BY 1, 2
 )
-SELECT s.event_type, CAST(s.left_ind AS BIGINT) AS seg_id,
+SELECT s.event_type, s.day, CAST(s.left_ind AS BIGINT) AS seg_id,
        CAST(s.left_ind AS BIGINT) AS left_ind,
        CAST(least(s.left_ind + {w}, nn.n) AS BIGINT) AS right_ind,
        round(s.score + 1e-9, 4) AS score,
        round(th.t + 1e-9, 4) AS threshold,
        CASE WHEN s.score > th.t THEN 1 ELSE 0 END AS label
 FROM scores s
-JOIN th ON th.event_type = s.event_type
-JOIN (SELECT DISTINCT event_type, n FROM o) nn
-  ON nn.event_type = s.event_type
+JOIN th ON th.event_type = s.event_type AND th.day = s.day
+JOIN (SELECT DISTINCT event_type, day, n FROM o) nn
+  ON nn.event_type = s.event_type AND nn.day = s.day
 """
 
 
 @register("detect_knn", _knn_sql())
 def detect_knn_q(spark, sf_dir):
-    s = _series(spark, sf_dir)
-    out = DET.detect(s, "v", "knn", window_size=10, keys=["event_type"],
-                     order_col="window_start")
+    s = _series_day(spark, sf_dir)
+    out = DET.detect(s, "v", "knn", window_size=10,
+                     keys=["event_type", "day"], order_col="window_start")
     return out.select(
-        "event_type", "seg_id", "left_ind", "right_ind",
+        "event_type", "day", "seg_id", "left_ind", "right_ind",
         _r4("score").alias("score"), _r4("threshold").alias("threshold"),
         "label",
     )
@@ -1960,9 +1992,9 @@ ORACLES["stat_mad_w5"] = _moment_stat_sql(
 
 @register("detect_lof")  # rows-only: kNN-density ratios, not SQL
 def detect_lof_q(spark, sf_dir):
-    s = _series(spark, sf_dir)
-    return DET.detect(s, "v", "lof", window_size=10, keys=["event_type"],
-                      order_col="window_start")
+    s = _series_day(spark, sf_dir)
+    return DET.detect(s, "v", "lof", window_size=10,
+                      keys=["event_type", "day"], order_col="window_start")
 
 
 @register(
@@ -2208,17 +2240,19 @@ def trmf_embeddings_q(spark, sf_dir):
 @register("detect_abod")  # rows-only: angle-variance kNN geometry
 def detect_abod_q(spark, sf_dir):
     """PyodABOD FastABOD core — score = −var of weighted neighbor angles."""
-    s = _series(spark, sf_dir)
-    return DET.detect(s, "v", "abod", window_size=10, keys=["event_type"],
-                      order_col="window_start")
+    s = _series_day(spark, sf_dir)
+    return DET.detect(s, "v", "abod", window_size=10,
+                      keys=["event_type", "day"], order_col="window_start")
 
 
 @register("detect_loda")  # rows-only: seeded random projections
 def detect_loda_q(spark, sf_dir):
-    """pyod LODA core — random sparse projections + histogram densities."""
-    s = _series(spark, sf_dir)
-    return DET.detect(s, "v", "loda", window_size=10, keys=["event_type"],
-                      order_col="window_start")
+    """pyod LODA core — random sparse projections + histogram densities.
+    Linear per group, but keyed (event_type, day) like its kNN siblings so
+    all detector queries share the bounded-group contract."""
+    s = _series_day(spark, sf_dir)
+    return DET.detect(s, "v", "loda", window_size=10,
+                      keys=["event_type", "day"], order_col="window_start")
 
 
 @register("detect_multivariate_avg")  # rows-only: per-dim OLS + combine
