@@ -1990,11 +1990,112 @@ ORACLES["stat_mad_w5"] = _moment_stat_sql(
 )
 
 
-@register("detect_lof")  # rows-only: kNN-density ratios, not SQL
+def _lof_sql(w: int = 10, k: int = 5, contamination: float = 0.1) -> str:
+    """DuckDB twin of the LOF core (detectors.lof_scores — Breunig et al.):
+    extends the detect_knn SQL machinery (lead-column windows, exact
+    pairwise distances) through the full LOF chain:
+
+      kdist(p)   = k-th smallest pairwise distance (list_sort, clamped k)
+      N(p)       = pairs with d <= kdist(p) + 1e-12 (ties included)
+      reach(p,o) = greatest(kdist(o), d)
+      lrd(p)     = |N(p)| / sum reach(p,o)
+      LOF(p)     = (sum_{o in N(p)} lrd(o) / |N(p)|) / lrd(p)
+
+    then the CollectiveBase percentile threshold + label per group.
+    Single-window groups (no pairs) come back via LEFT JOIN with the
+    engine's m<=1 score of 1.0."""
+    dot = " + ".join(f"a.v{j}*b.v{j}" for j in range(w))
+    leads = ",\n         ".join(
+        f"lead(v, {j}) OVER (PARTITION BY event_type, day ORDER BY rn) AS v{j}"
+        for j in range(w)
+    )
+    sq = " + ".join(f"v{j}*v{j}" for j in range(w))
+    return f"""
+WITH {_SERIES_DAY_SQL},
+o AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY window_start) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type, day) AS n
+  FROM series
+),
+win AS (
+  SELECT event_type, day, rn AS left_ind, n,
+         {leads}
+  FROM o
+),
+wins AS (
+  SELECT *, {sq} AS sq FROM win WHERE left_ind <= n - {w}
+),
+pd AS (
+  SELECT a.event_type, a.day, a.left_ind AS ia, b.left_ind AS ib,
+         sqrt(greatest(a.sq + b.sq - 2*({dot}), 0)) AS d
+  FROM wins a
+  JOIN wins b ON a.event_type = b.event_type AND a.day = b.day
+             AND a.left_ind != b.left_ind
+),
+kd AS (
+  SELECT event_type, day, ia, l[least({k}, len(l))] AS kdist
+  FROM (SELECT event_type, day, ia, list_sort(list(d)) AS l
+        FROM pd GROUP BY 1, 2, 3)
+),
+nb AS (
+  SELECT pd.event_type, pd.day, pd.ia, pd.ib, pd.d, kb.kdist AS kdb
+  FROM pd
+  JOIN kd ka ON ka.event_type = pd.event_type AND ka.day = pd.day
+            AND ka.ia = pd.ia
+  JOIN kd kb ON kb.event_type = pd.event_type AND kb.day = pd.day
+            AND kb.ia = pd.ib
+  WHERE pd.d <= ka.kdist + 1e-12
+),
+lrd AS (
+  SELECT event_type, day, ia,
+         count(*) / sum(greatest(kdb, d)) AS lrd
+  FROM nb GROUP BY 1, 2, 3
+),
+ps AS (
+  SELECT nb.event_type, nb.day, nb.ia,
+         (sum(lb.lrd) / count(*)) / max(la.lrd) AS score
+  FROM nb
+  JOIN lrd la ON la.event_type = nb.event_type AND la.day = nb.day
+             AND la.ia = nb.ia
+  JOIN lrd lb ON lb.event_type = nb.event_type AND lb.day = nb.day
+             AND lb.ia = nb.ib
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT w.event_type, w.day, w.left_ind, coalesce(ps.score, 1.0) AS score
+  FROM wins w
+  LEFT JOIN ps ON ps.event_type = w.event_type AND ps.day = w.day
+              AND ps.ia = w.left_ind
+),
+th AS (
+  SELECT event_type, day, quantile_cont(score, {1 - contamination!r}) AS t
+  FROM scores GROUP BY 1, 2
+)
+SELECT s.event_type, s.day, CAST(s.left_ind AS BIGINT) AS seg_id,
+       CAST(s.left_ind AS BIGINT) AS left_ind,
+       CAST(least(s.left_ind + {w}, nn.n) AS BIGINT) AS right_ind,
+       round(s.score + 1e-9, 4) AS score,
+       round(th.t + 1e-9, 4) AS threshold,
+       CASE WHEN s.score > th.t THEN 1 ELSE 0 END AS label
+FROM scores s
+JOIN th ON th.event_type = s.event_type AND th.day = s.day
+JOIN (SELECT DISTINCT event_type, day, n FROM o) nn
+  ON nn.event_type = s.event_type AND nn.day = s.day
+"""
+
+
+@register("detect_lof", _lof_sql())
 def detect_lof_q(spark, sf_dir):
     s = _series_day(spark, sf_dir)
-    return DET.detect(s, "v", "lof", window_size=10,
-                      keys=["event_type", "day"], order_col="window_start")
+    out = DET.detect(s, "v", "lof", window_size=10,
+                     keys=["event_type", "day"], order_col="window_start")
+    return out.select(
+        "event_type", "day", "seg_id", "left_ind", "right_ind",
+        _r4("score").alias("score"), _r4("threshold").alias("threshold"),
+        "label",
+    )
 
 
 @register(
