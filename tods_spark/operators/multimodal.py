@@ -52,11 +52,14 @@ def decode_media(payload: bytes, meta: dict, strict: bool = True) -> np.ndarray:
             "media decode requires an image/audio codec library, not present "
             "in this environment; pass strict=False for a deterministic fake"
         )
-    # deterministic fake: pseudo-pixels from a hash of the payload
-    h = hashlib.sha256(payload).digest()
+    # deterministic fake: LCG-style pseudo-pixels seeded by the portable
+    # 60-bit md5 slice of the payload (the same value DuckDB computes as
+    # ('0x' || substr(md5(text), 1, 15))::BIGINT — dedup.md5_h64), so
+    # pooled features downstream are exactly oracle-checkable:
+    #   px[i] = (31·i + h64) mod 256
+    h64 = int(hashlib.md5(payload).hexdigest()[:15], 16)
     n = (meta["width"] or 8) * (meta["height"] or 8)
-    reps = -(-n // len(h))
-    return np.frombuffer((h * reps)[:n], dtype=np.uint8).astype(np.float32)
+    return ((31 * np.arange(n, dtype=np.int64) + h64) % 256).astype(np.float32)
 
 
 def extract_features(
@@ -64,8 +67,12 @@ def extract_features(
 ) -> DataFrame:
     """Feature extraction over binary payloads: mapInPandas, one Arrow batch
     of payload bytes in, fixed-width float vectors out. The batch shape is
-    what a real CNN/fbank extractor would consume."""
-    schema = "doc_id long, features array<float>"
+    what a real CNN/fbank extractor would consume.
+
+    Pooled means are computed as exact int64 pixel sums divided in float64
+    — bit-identical to the oracle twin's SQL arithmetic (a float32
+    accumulator would round differently per chunk length)."""
+    schema = "doc_id long, features array<double>"
 
     def extract(batches):
         for pdf in batches:
@@ -74,7 +81,9 @@ def extract_features(
                 px = decode_media(bytes(payload), meta, strict=strict_decode)
                 # deterministic pooled features: mean of n_features strides
                 chunks = np.array_split(px, n_features)
-                feats.append(np.array([c.mean() for c in chunks], np.float32))
+                feats.append(np.array(
+                    [c.astype(np.int64).sum() / len(c) for c in chunks]
+                ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return df.mapInPandas(extract, schema)

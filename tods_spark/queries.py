@@ -1227,11 +1227,49 @@ def media_metadata(spark, sf_dir):
     )
 
 
-@register("media_features")  # rows-only: decode stub is engine-side
+@register(
+    "media_features",
+    """
+WITH d AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h64,
+         (length(text) % 640 + 32) * (length(text) % 480 + 32) AS n
+  FROM documents
+),
+ch AS (  -- np.array_split(px, 16): first n%16 chunks get n//16 + 1 pixels
+  SELECT doc_id, h64, j,
+         CASE WHEN j < n % 16 THEN n // 16 + 1 ELSE n // 16 END AS L,
+         CASE WHEN j < n % 16 THEN j * (n // 16 + 1)
+              ELSE (n % 16) * (n // 16 + 1) + (j - n % 16) * (n // 16)
+         END AS s,
+         (CASE WHEN j < n % 16 THEN n // 16 + 1 ELSE n // 16 END) // 256
+           AS fullc,
+         (CASE WHEN j < n % 16 THEN n // 16 + 1 ELSE n // 16 END) % 256
+           AS remc
+  FROM d, (SELECT unnest(range(16)) AS j) t
+),
+rs AS (  -- partial-cycle pixel sum: px[i] = (31*i + h64) mod 256
+  SELECT c.doc_id, c.j,
+         coalesce(sum(CASE WHEN t.t < c.remc
+                      THEN (31 * (c.s + 256 * c.fullc + t.t) + c.h64) % 256
+                      END), 0) AS remsum
+  FROM ch c, (SELECT unnest(range(256)) AS t) t
+  GROUP BY 1, 2
+)
+SELECT ch.doc_id, CAST(ch.j AS INT) AS feature_idx,
+       -- 32640 = sum of one full 256-residue cycle (31 coprime to 256)
+       round(CAST(ch.fullc * 32640 + rs.remsum AS DOUBLE) / ch.L + 1e-9, 4)
+         AS value
+FROM ch JOIN rs ON rs.doc_id = ch.doc_id AND rs.j = ch.j
+""",
+)
 def media_features(spark, sf_dir):
     """Exploded to (doc_id, feature_idx, value) scalars: the driver's
     canonicalizer sorts cell values and cannot order array<float> cells
-    (round-1 err: `unhashable type: 'list'`)."""
+    (round-1 err: `unhashable type: 'list'`). The twin recomputes the
+    deterministic fake-decode pixels px[i] = (31·i + md5_h64(text)) mod 256
+    and the exact int-sum pooled means in closed form (full 256-cycles sum
+    to 32640; only the <256-pixel partial cycle is enumerated)."""
     m = MM.attach_fake_media(_docs(spark, sf_dir))
     feats = MM.extract_features(m, n_features=16)
     return feats.select(
