@@ -63,3 +63,30 @@ def test_default_feature_stage(spark):
     pipe = build_pipeline({"order_col": "timestamp"})
     out = pipe(spark.createDataFrame(pdf))
     assert "value_maximum" in out.columns  # reference default (utils.py:46-53)
+
+
+def test_detector_core_as_detection_stage(spark):
+    """The reference's out-of-the-box default pipeline ends in pyod_ae
+    (utils.py:46-53); the engine pipeline can name any detector core —
+    method='ae' — as the detection stage and the planted spike is
+    flagged."""
+    rng = np.random.default_rng(21)
+    vals = np.sin(np.arange(240) / 5.0) * 3 + rng.normal(0, 0.2, 240)
+    vals[150] += 20.0
+    pdf = pd.DataFrame({"source": "s1", "timestamp": np.arange(240.0),
+                        "value": vals})
+    pipe = build_pipeline(
+        {
+            "keys": ["source"],
+            "order_col": "timestamp",
+            "timeseries_processing": [],
+            "feature_analysis": [],
+            "detection": {"method": "ae", "value_col": "value",
+                          "window_size": 12, "contamination": 0.02},
+        }
+    )
+    out = pipe(spark.createDataFrame(pdf)).toPandas()
+    assert {"seg_id", "left_ind", "right_ind", "score", "threshold",
+            "label"} <= set(out.columns)
+    flagged = out[out.label == 1]
+    assert ((flagged.left_ind <= 150) & (flagged.right_ind >= 150)).any()

@@ -180,6 +180,77 @@ def test_loda_deterministic_and_flags_outlier():
     assert s1[100] == s1.max()
 
 
+def test_ae_scores_equal_pca_residual():
+    """Linear-AE score == Euclidean residual from the top-k principal
+    subspace of the standardized windows (hand-computed fixture), and the
+    planted spike surfaces as the top score."""
+    x = _series_with_spike(seed=11)
+    scores, lefts = DET.ae_scores(x, window_size=10, n_components=2)
+    mat = np.stack([x[i : i + 10] for i in range(len(x) - 9)])
+    mu, sd = mat.mean(0), mat.std(0)
+    Z = (mat - mu) / sd
+    _, _, vt = np.linalg.svd(Z, full_matrices=False)
+    R = Z - (Z @ vt[:2].T) @ vt[:2]
+    np.testing.assert_allclose(scores, np.sqrt((R**2).sum(1)), rtol=1e-9)
+    top = scores.argmax()
+    assert lefts[top] <= 200 <= lefts[top] + 10
+
+
+def test_cblof_small_cluster_scores():
+    """CBLOF (use_weights=False): points in the large cluster score their
+    own-centroid distance; the isolated small-cluster point scores its
+    distance to the nearest LARGE centroid."""
+    rng = np.random.default_rng(5)
+    x = np.concatenate([rng.normal(0, 0.05, 200), [30.0], rng.normal(0, 0.05, 40)])
+    scores, lefts = DET.cblof_scores(x, window_size=1, n_clusters=4, seed=0)
+    # windows containing the 30.0 point are the far small cluster
+    spike = np.where(lefts == 200)[0][0]
+    assert scores[spike] == scores.max()
+    assert scores[spike] > 20  # ~ distance from 30 to the dense centroid
+    assert np.median(scores) < 1.0  # dense points score own-center distance
+
+
+def test_cof_matches_independent_sbn_trail():
+    """COF parity vs an independent greedy set-based-nearest-trail builder
+    (different construction: incremental set expansion with explicit min
+    tracking, not the argsort-path formula)."""
+    rng = np.random.default_rng(7)
+    X = np.concatenate([rng.normal(0, 1, 40), [12.0], rng.normal(0, 1, 10)])
+    scores, lefts = DET.cof_scores(X, window_size=1, n_neighbors=5)
+
+    mat = X.reshape(-1, 1)
+    m, k = len(mat), 5
+    d = np.abs(mat - mat.T)
+    ac = np.empty(m)
+    nbrs = []
+    for i in range(m):
+        order = np.argsort(d[i], kind="stable")[: k + 1]
+        nbrs.append(order[1:])
+        trail = [order[0]]
+        total = 0.0
+        for j, nxt in enumerate(order[1:], start=1):
+            edge = min(d[nxt][t] for t in trail)
+            total += (2.0 * (k + 1 - j) / ((k + 1) * k)) * edge
+            trail.append(nxt)
+        ac[i] = total
+    exp = np.array([ac[i] * k / ac[nbrs[i]].sum() for i in range(m)])
+    np.testing.assert_allclose(scores, exp, rtol=1e-9)
+    assert scores[40] == scores.max()  # planted outlier
+
+
+def test_ae_cblof_cof_detect_spark(spark):
+    """The three new cores run through detect() end-to-end and flag the
+    planted spike."""
+    x = _series_with_spike()
+    pdf = pd.DataFrame({"timestamp": range(len(x)), "value": x})
+    sdf = spark.createDataFrame(pdf)
+    for method in ("ae", "cblof", "cof"):
+        out = DET.detect(sdf, "value", method, window_size=12,
+                         contamination=0.02).toPandas()
+        flagged = out[out.label == 1]
+        assert ((flagged.left_ind <= 200) & (flagged.right_ind >= 200)).any(), method
+
+
 def test_multivariate_detect_combines_dimensions(spark):
     """MultiAutoRegOD semantics: per-dimension scores are z-standardized
     (MultiAutoRegOD.py:150-152, combo standardizer) and the combined score

@@ -112,13 +112,30 @@ def build_pipeline(config: dict):
         stages.append(_stage(cfg, keys, order_col))
     det = config.get("detection")
     if det:
-        stages.append(
-            lambda df: detection.scores_to_labels(
-                df, score_col=det["score_col"],
-                contamination=det.get("contamination", 0.1),
-                keys=keys or None,
+        method = det.get("method")
+        if method:
+            # a detector CORE as the detection stage (the reference's
+            # default pipeline ends in pyod_ae — method="ae" here)
+            from tods_spark.operators import detectors
+
+            stages.append(
+                lambda df: detectors.detect(
+                    df, det.get("value_col", det.get("score_col", "value")),
+                    method,
+                    window_size=det.get("window_size", 10),
+                    contamination=det.get("contamination", 0.1),
+                    keys=keys, order_col=order_col,
+                    **det.get("params", {}),
+                )
             )
-        )
+        else:
+            stages.append(
+                lambda df: detection.scores_to_labels(
+                    df, score_col=det["score_col"],
+                    contamination=det.get("contamination", 0.1),
+                    keys=keys or None,
+                )
+            )
 
     def pipeline(df: DataFrame) -> DataFrame:
         return reduce(lambda acc, fn: fn(acc), stages, df)

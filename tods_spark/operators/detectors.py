@@ -349,6 +349,125 @@ _CORES["abod"] = abod_scores
 _CORES["loda"] = loda_scores
 
 
+def ae_scores(x: np.ndarray, window_size: int, step: int = 1,
+              n_components: int = 2) -> tuple:
+    """Linear-autoencoder score — the engine answer to the reference's
+    DEFAULT detector `pyod_ae` (tods/utils.py:46-53 → PyodAE.py:181,
+    hidden_neurons [4,2,4]): a linear AE with bottleneck k attains its
+    optimum at the PCA top-k subspace, so the reconstruction error of the
+    trained linear AE equals the residual from the top-k principal
+    components. Matching pyod's AutoEncoder scoring pipeline: standardize
+    windows, reconstruct from the k-dim code, score = Euclidean distance
+    between input and reconstruction (pyod pairwise_distances_no_broadcast).
+    k defaults to 2 = the reference default's bottleneck width."""
+    mat, lefts = _windows(x, window_size, step)
+    if len(mat) < 2:
+        return np.zeros(len(mat)), lefts
+    mu, sd = mat.mean(0), mat.std(0)
+    sd[sd == 0] = 1.0
+    Z = (mat - mu) / sd
+    _, _, vt = np.linalg.svd(Z, full_matrices=False)
+    k = min(n_components, vt.shape[0])
+    resid = Z - (Z @ vt[:k].T) @ vt[:k]
+    return np.sqrt((resid**2).sum(axis=1)), lefts
+
+
+def _kmeans(X: np.ndarray, k: int, seed: int, iters: int = 50):
+    """Seeded Lloyd k-means (deterministic engine contract — sklearn's
+    n_init=10 k-means++ stream is not reproduced; documented deviation).
+    Empty clusters are reseeded to the point farthest from its center."""
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=k, replace=False)].astype(float)
+    labels = np.full(len(X), -1)
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - centers[None]) ** 2).sum(axis=2)
+        new = d2.argmin(axis=1)
+        for c in range(k):
+            if not (new == c).any():
+                new[d2[np.arange(len(X)), new].argmax()] = c
+        if (new == labels).all():
+            break
+        labels = new
+        for c in range(k):
+            centers[c] = X[labels == c].mean(axis=0)
+    return labels, centers
+
+
+def cblof_scores(x: np.ndarray, window_size: int, step: int = 1,
+                 n_clusters: int = 8, alpha: float = 0.9, beta: float = 5.0,
+                 seed: int = 0) -> tuple:
+    """CBLOF core (PyodCBLOF.py:199 → pyod.models.cblof, use_weights=False):
+    k-means over flattened windows; clusters sorted by size; the large/small
+    boundary is the first index where the size cumsum ≥ αm AND/OR the
+    size ratio ≥ β (pyod's intersect-then-fallback rule); score = distance
+    to own centroid for large-cluster points, distance to the NEAREST
+    large-cluster centroid for small-cluster points."""
+    mat, lefts = _windows(x, window_size, step)
+    m = len(mat)
+    if m <= 1:
+        return np.zeros(m), lefts
+    k = min(n_clusters, m)
+    labels, centers = _kmeans(mat, k, seed)
+    sizes = np.bincount(labels, minlength=k)
+    order = np.argsort(-sizes, kind="stable")
+    alpha_list, beta_list = [], []
+    for i in range(1, k):
+        if sizes[order[:i]].sum() >= m * alpha:
+            alpha_list.append(i)
+        if sizes[order[i - 1]] >= beta * max(sizes[order[i]], 1):
+            beta_list.append(i)
+    inter = [i for i in alpha_list if i in beta_list]
+    thr = (inter or alpha_list or beta_list or [k])[0]
+    large = order[:thr]
+    d_large = np.sqrt(
+        np.maximum(
+            ((mat[:, None, :] - centers[large][None]) ** 2).sum(axis=2), 0
+        )
+    )
+    own = np.sqrt(((mat - centers[labels]) ** 2).sum(axis=1))
+    is_large = np.isin(labels, large)
+    return np.where(is_large, own, d_large.min(axis=1)), lefts
+
+
+def cof_scores(x: np.ndarray, window_size: int, step: int = 1,
+               n_neighbors: int = 5) -> tuple:
+    """COF core (PyodCOF.py:133 → pyod.models.cof; Tang, Chen, Fu & Cheung
+    2002, "Enhancing effectiveness of outlier detections for low density
+    patterns"): for each window, build the set-based nearest path (SBN
+    trail) over its k+1 neighborhood — cost of step j = min distance from
+    the j-th trail point to any earlier trail point; average chaining
+    distance = weighted sum with weights 2(k+1-j)/((k+1)k); COF =
+    ac_dist(p)·k / Σ ac_dist over p's k nearest neighbors. O(m²) distance
+    matrix — quadratic kernel, bounded-group contract applies."""
+    mat, lefts = _windows(x, window_size, step)
+    m = len(mat)
+    if m <= 2:
+        return np.ones(m), lefts
+    sq = (mat**2).sum(1)
+    d = np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2 * (mat @ mat.T), 0))
+    np.fill_diagonal(d, 0.0)
+    k = min(n_neighbors, m - 1)
+    w = 2.0 * (k - np.arange(k)) / ((k + 1) * k)  # j = 1..k → 2(k+1-j)/((k+1)k)
+    ac = np.empty(m)
+    trails = np.empty((m, k + 1), dtype=int)
+    for i in range(m):
+        p = np.argsort(d[i], kind="stable")[: k + 1]  # self first (d=0)
+        trails[i] = p
+        cost = np.empty(k)
+        for j in range(k):
+            cost[j] = d[p[j + 1]][p[: j + 1]].min()
+        ac[i] = float((w * cost).sum())
+    denom = ac[trails[:, 1:]].sum(axis=1)
+    denom[denom == 0] = 1.0
+    return ac * k / denom, lefts
+
+
+_CORES["ae"] = ae_scores
+_CORES["cblof"] = cblof_scores
+_CORES["cof"] = cof_scores
+_QUADRATIC.add("cof")
+
+
 def detect_multivariate(
     df: DataFrame,
     value_cols: list[str],

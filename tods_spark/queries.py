@@ -2394,6 +2394,35 @@ def detect_loda_q(spark, sf_dir):
                       keys=["event_type", "day"], order_col="window_start")
 
 
+@register("detect_ae")  # rows-only: SVD subspace fit, not SQL
+def detect_ae_q(spark, sf_dir):
+    """The reference's DEFAULT detection stage (`pyod_ae`, tods/utils.py:
+    46-53): linear-AE ≡ top-k-PCA reconstruction error over sliding
+    windows (detectors.ae_scores; bottleneck 2 = PyodAE default [4,2,4])."""
+    s = _series_day(spark, sf_dir)
+    return DET.detect(s, "v", "ae", window_size=10,
+                      keys=["event_type", "day"], order_col="window_start")
+
+
+@register("detect_cblof")  # rows-only: seeded k-means clustering
+def detect_cblof_q(spark, sf_dir):
+    """PyodCBLOF.py:199 — cluster-based LOF: seeded k-means, size-sorted
+    large/small split (alpha/beta rule), distance-to-large-centroid score."""
+    s = _series_day(spark, sf_dir)
+    return DET.detect(s, "v", "cblof", window_size=10,
+                      keys=["event_type", "day"], order_col="window_start",
+                      n_clusters=4)
+
+
+@register("detect_cof")  # rows-only: SBN-trail chaining distances
+def detect_cof_q(spark, sf_dir):
+    """PyodCOF.py:133 — connectivity-based outlier factor via set-based
+    nearest trails; O(m²) kernel, bounded by the (event_type, day) key."""
+    s = _series_day(spark, sf_dir)
+    return DET.detect(s, "v", "cof", window_size=10,
+                      keys=["event_type", "day"], order_col="window_start")
+
+
 @register("detect_multivariate_avg")  # rows-only: per-dim OLS + combine
 def detect_multivariate_q(spark, sf_dir):
     """core.MultiAutoRegOD (MultiAutoRegOD.py:17-120): univariate AutoReg
