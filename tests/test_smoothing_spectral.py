@@ -69,6 +69,38 @@ def test_holt_winters_tracks_seasonal_signal(spark):
     assert np.abs(resid).mean() < 0.3 * np.abs(base).mean()
 
 
+def test_holt_winters_optimizer_beats_defaults():
+    """The .fit() replication (multi-start Nelder-Mead SSE over α/β/γ):
+    optimized parameters fit at least as well as the explicit defaults,
+    stay inside statsmodels' [0,1] box, and the search is deterministic.
+    On a clean additive trend+seasonal signal the optimized fit is a
+    large improvement (the optimizer pushes α toward its bound)."""
+    t = np.arange(90)
+    y = 10 + 0.3 * t + 4 * np.sin(2 * np.pi * t / 3)
+
+    a, b, g = SM.holt_winters_optimize(y, m=3)
+    assert 0 <= a <= 1 and 0 <= b <= 1 and 0 <= g <= 1
+    assert (a, b, g) == SM.holt_winters_optimize(y, m=3)  # deterministic
+
+    sse_opt = ((y - SM.holt_winters_fitted(y, 3, a, b, g)) ** 2).sum()
+    sse_def = ((y - SM.holt_winters_fitted(y, 3)) ** 2).sum()
+    assert sse_opt <= sse_def
+    assert sse_opt < 0.5 * sse_def  # clean signal: a real improvement
+
+
+def test_holt_winters_auto_spark_matches_local(spark):
+    y = 5 + 0.1 * np.arange(45) + 2 * np.sin(2 * np.pi * np.arange(45) / 3)
+    out = (
+        SM.smooth(_series_df(spark, y), ["value"], "holt_winters_auto", m=3)
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    np.testing.assert_allclose(
+        out["value_holt_winters_auto"], SM.holt_winters_auto(y, m=3),
+        rtol=1e-12,
+    )
+
+
 def test_spectral_residual_matches_reference_kernel(spark):
     rng = np.random.default_rng(4)
     y = np.sin(np.arange(64) / 5.0) * 10 + rng.normal(0, 0.5, 64)

@@ -15,9 +15,11 @@ heuristic") initialization statsmodels uses when optimized=False:
   Holt:  l0 = y0, b0 = y1 - y0;       fitted[t] = l_{t-1} + b_{t-1}
   HW(add, m): l0 = mean(y[:m]), b0 = (mean(y[m:2m]) - mean(y[:m]))/m,
          s0_i = y_i - l0;             fitted[t] = l_{t-1}+b_{t-1}+s_{t-m}
-(HW smoothing params are fit by statsmodels' optimizer in the reference —
-not reproducible without scipy — so HW takes explicit α/β/γ arguments and
-the parity fixture pins OUR constants; docstring notes the deviation.)
+(HW smoothing params are fit by statsmodels' internal optimizer in the
+reference; `holt_winters_auto` replicates that fit as a deterministic
+multi-start Nelder-Mead SSE minimization over (α, β, γ) in [0,1]³ —
+same objective, same bounds, numpy-only. Explicit α/β/γ remain available
+via `holt_winters_smoothing` for pinned-parameter parity fixtures.)
 
 Recurrences don't fit Catalyst window frames (each output depends on the
 previous OUTPUT, not a fixed frame) → grouped-map Arrow UDF per series,
@@ -82,10 +84,88 @@ def holt_winters_fitted(
     return out
 
 
+def _nelder_mead(f, x0: np.ndarray, step: float = 0.15,
+                 max_iter: int = 400, tol: float = 1e-10):
+    """Minimal Nelder-Mead simplex (standard 1/2/0.5/0.5 coefficients),
+    numpy-only — the optimizer statsmodels applies to the Holt-Winters SSE
+    when .fit(optimized=True); returns (x_best, f_best). Deterministic."""
+    n = len(x0)
+    simplex = [np.asarray(x0, float)]
+    for i in range(n):
+        v = simplex[0].copy()
+        v[i] += step
+        simplex.append(v)
+    fv = [f(v) for v in simplex]
+    for _ in range(max_iter):
+        order = np.argsort(fv)
+        simplex = [simplex[i] for i in order]
+        fv = [fv[i] for i in order]
+        if abs(fv[-1] - fv[0]) <= tol * (abs(fv[0]) + tol):
+            break
+        centroid = np.mean(simplex[:-1], axis=0)
+        xr = centroid + (centroid - simplex[-1])          # reflect
+        fr = f(xr)
+        if fr < fv[0]:
+            xe = centroid + 2.0 * (centroid - simplex[-1])  # expand
+            fe = f(xe)
+            simplex[-1], fv[-1] = (xe, fe) if fe < fr else (xr, fr)
+        elif fr < fv[-2]:
+            simplex[-1], fv[-1] = xr, fr
+        else:
+            xc = centroid + 0.5 * (simplex[-1] - centroid)  # contract
+            fc = f(xc)
+            if fc < fv[-1]:
+                simplex[-1], fv[-1] = xc, fc
+            else:                                           # shrink
+                simplex = [simplex[0]] + [
+                    simplex[0] + 0.5 * (v - simplex[0]) for v in simplex[1:]
+                ]
+                fv = [fv[0]] + [f(v) for v in simplex[1:]]
+    best = int(np.argmin(fv))
+    return simplex[best], fv[best]
+
+
+def holt_winters_optimize(y: np.ndarray, m: int = 3) -> tuple[float, float, float]:
+    """Fit (α, β, γ) by SSE minimization over the fitted values — the numpy
+    replication of what statsmodels' ExponentialSmoothing(...).fit()
+    does for the reference (HoltWintersExponentialSmoothing.py:169-181,
+    which calls .fit() with the internal optimizer). Multi-start
+    Nelder-Mead on a fixed seed grid (deterministic, no RNG); parameters
+    outside [0,1] are rejected with an infinite penalty (statsmodels'
+    box bounds)."""
+    y = np.asarray(y, float)
+
+    def sse(p):
+        a, b, g = p
+        if not (1e-4 <= a <= 1 - 1e-4 and 0 <= b <= 1 and 0 <= g <= 1):
+            return np.inf
+        return float(((y - holt_winters_fitted(y, m, a, b, g)) ** 2).sum())
+
+    best_x, best_f = None, np.inf
+    for a0 in (0.1, 0.5, 0.9):
+        for b0, g0 in ((0.05, 0.05), (0.2, 0.2)):
+            x, fx = _nelder_mead(sse, np.array([a0, b0, g0]))
+            if fx < best_f:
+                best_x, best_f = x, fx
+    a, b, g = np.clip(best_x, 0.0, 1.0)
+    return float(a), float(b), float(g)
+
+
+def holt_winters_auto(y: np.ndarray, m: int = 3) -> np.ndarray:
+    """Holt-Winters fittedvalues with optimizer-chosen (α, β, γ) — the
+    engine analogue of the reference's statsmodels .fit() default."""
+    y = np.asarray(y, float)
+    if len(y) < 2 * m:
+        return ses_fitted(y)
+    a, b, g = holt_winters_optimize(y, m)
+    return holt_winters_fitted(y, m, a, b, g)
+
+
 _KERNELS = {
     "simple_exponential_smoothing": ses_fitted,
     "holt_smoothing": holt_fitted,
     "holt_winters_smoothing": holt_winters_fitted,
+    "holt_winters_auto": holt_winters_auto,
 }
 
 

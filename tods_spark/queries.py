@@ -1489,6 +1489,18 @@ def holt_smoothing_q(spark, sf_dir):
                       _r4("v_holt_smoothing").alias("v_holt"))
 
 
+@register("holt_winters_auto")  # rows-only: Nelder-Mead SSE fit, not SQL
+def holt_winters_auto_q(spark, sf_dir):
+    """HoltWintersExponentialSmoothing.py:169-181 — statsmodels' .fit()
+    parameter optimization replicated as deterministic multi-start
+    Nelder-Mead SSE minimization over (α, β, γ) per series."""
+    s = _series(spark, sf_dir)
+    out = SMOP.smooth(s, ["v"], "holt_winters_auto", keys=["event_type"],
+                      order_col="window_start", m=3)
+    return out.select("event_type", "window_start",
+                      _r4("v_holt_winters_auto").alias("v_hw"))
+
+
 @register("spectral_residual")  # rows-only: FFT, not SQL-expressible
 def spectral_residual_q(spark, sf_dir):
     s = _series(spark, sf_dir)
