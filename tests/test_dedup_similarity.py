@@ -84,9 +84,14 @@ def test_simhash_properties(spark):
     sig = DD.simhash64(spark.createDataFrame(pdf)).toPandas()
     s = dict(zip(sig.id, sig.simhash))
     assert s["d000"] == s[f"d{n:03d}"]  # identical text -> identical simhash
-    ham_near = bin(s["d001"] ^ s[f"d{n+1:03d}"]).count("1")
-    rng_pairs = [bin(s["d002"] ^ s["d003"]).count("1"),
-                 bin(s["d004"] ^ s["d005"]).count("1")]
+
+    def ham(a, b):
+        # mask to 64 bits: xxhash64 signatures can be negative int64s and
+        # bin() of a negative python int shows the magnitude, not the bits
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+    ham_near = ham(s["d001"], s[f"d{n+1:03d}"])
+    rng_pairs = [ham(s["d002"], s["d003"]), ham(s["d004"], s["d005"])]
     assert ham_near < min(rng_pairs)  # near-dup closer than random pairs
     near = DD.simhash_near_pairs(
         spark.createDataFrame(pdf), max_hamming=max(ham_near, 1)
