@@ -59,6 +59,20 @@ def chunk_layout(n_bits: int, chunks: int) -> list[tuple[int, int]]:
     return layout
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small-input guard: a tiny doc table read from one parquet file is ONE
+    scan partition, which serializes the shingle/hash stage onto a single
+    core. When the scan has far fewer partitions than the cluster has slots,
+    one balancing repartition (cost: one pass over the raw text, small by
+    construction here) unlocks the full width. At real scale (splits >>
+    cores) this is a metadata check and a no-op — no shuffle is added."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
                      col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct text with the keeper
@@ -82,6 +96,7 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", col: str = "text",
             lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
         )
     )
+    df = _ensure_parallelism(df)
     return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
 
 
@@ -240,6 +255,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", col: str = "text",
     word_hash = (
         (lambda w: md5_h64(w)) if hash_fn == "md5" else (lambda w: F.xxhash64(w))
     )
+    df = _ensure_parallelism(df)
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(words(col), word_hash).alias("hashes"),
