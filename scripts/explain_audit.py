@@ -115,6 +115,32 @@ def main() -> None:
         check("digest cascade default is map-side partial (no raw collect_list)",
               "sort_array(collect_list" not in plan and "MapInPandas" in plan)
 
+    # 11. quadratic detector kernels shuffle on the TIME-BOUNDED key: the
+    #     grouped-map exchange must hash on (event_type, day), never
+    #     event_type alone (that key grows m linearly with retention)
+    plan = QUERIES["detect_knn"](spark, SF)._jdf.queryExecution(
+    ).executedPlan().toString()
+    import re as _re
+
+    # the grouped-map exchange (the one feeding FlatMapGroupsInPandas) must
+    # hash on day; the upstream 1m-rollup exchange hashes on the window
+    exch = [line for line in plan.splitlines()
+            if "hashpartitioning" in line and "event_type" in line
+            and _re.search(r"day#\d+", line)]
+    check("detect_knn groups by (event_type, day)",
+          bool(exch) and "FlatMapGroupsInPandas" in plan,
+          exch[0].strip()[:100] if exch else "no (event_type, day) exchange")
+
+    # 12. minhash engine path (xxhash64 default) has no Python eval — the
+    #     whole signature/band pipeline is JVM expressions
+    from tods_spark.operators import dedup as DD
+
+    plan = DD.minhash_lsh_candidates(
+        spark.read.parquet(f"{SF}/documents.parquet"), k=16, bands=8
+    )._jdf.queryExecution().executedPlan().toString()
+    check("minhash engine path is pure JVM (no BatchEvalPython)",
+          "BatchEvalPython" not in plan and "xxhash64" in plan.lower())
+
     bad = [n for n, ok in checks if not ok]
     print(f"\n{len(checks) - len(bad)}/{len(checks)} plan checks pass")
     if bad:
