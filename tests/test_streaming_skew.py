@@ -108,3 +108,70 @@ def test_stateful_streaming_ses_matches_batch(spark, tmp_path):
         g = got[got.event_type == k]
         exp = ses_fitted(f["v"].to_numpy())
         np.testing.assert_array_equal(g["v_ses"].to_numpy(), exp)
+
+
+def test_stateful_streaming_stat_window_matches_batch(spark, tmp_path):
+    """applyInPandasWithState trailing-window stat: the value buffer carried
+    in GroupState across micro-batches must reproduce the batch
+    stat_window trailing stats for every row past the backfill prefix
+    (t >= w-1), plus the fixed-threshold binarize labels."""
+    import os
+
+    import pandas as pd
+
+    from tods_spark.operators.windows import stat_window
+    from tods_spark.streaming.stateful import streaming_stat_window
+
+    w = 5
+    rng = np.random.default_rng(17)
+    frames = []
+    for k in ("a", "b"):
+        ts = pd.date_range("2024-01-01", periods=60, freq="min")
+        frames.append(pd.DataFrame({
+            "event_type": k, "window_start": ts,
+            "v": rng.normal(10, 3, 60).round(3),
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+    src = str(tmp_path / "stat_src")
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate([(0, 20), (20, 40), (40, 60)]):
+        chunk = pd.concat([f.iloc[lo:hi] for f in frames], ignore_index=True)
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(
+            f"{src}/batch={i}"
+        )
+    schema = "event_type string, window_start timestamp, v double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/batch=*")
+    )
+    out = streaming_stat_window(stream, stat="mean", window_size=w,
+                                threshold=10.0)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("stat_stream").start())
+    q.processAllAvailable()
+    q.stop()
+    got = (spark.sql("SELECT * FROM stat_stream")
+           .orderBy("event_type", "window_start").toPandas())
+    assert len(got) == len(pdf)
+
+    batch = (
+        stat_window(spark.createDataFrame(pdf), ["v"], "mean", window_size=w,
+                    keys=["event_type"], order_col="window_start")
+        .orderBy("event_type", "window_start").toPandas()
+    )
+    for k in ("a", "b"):
+        g = got[got.event_type == k].reset_index(drop=True)
+        b = batch[batch.event_type == k].reset_index(drop=True)
+        # past the batch operator's backfill prefix both paths compute the
+        # identical full-window trailing mean (batch output carries the
+        # engine's 4-decimal canonicalization — apply it to the stream side)
+        np.testing.assert_allclose(
+            np.round(g["v_mean"].to_numpy()[w - 1:] + 1e-9, 4),
+            b["v_mean"].to_numpy()[w - 1:],
+            rtol=1e-12,
+        )
+        np.testing.assert_array_equal(
+            g["label"].to_numpy()[w - 1:],
+            (g["v_mean"].to_numpy()[w - 1:] > 10.0).astype(int),
+        )

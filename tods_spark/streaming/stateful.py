@@ -72,6 +72,63 @@ def streaming_ses(
     )
 
 
+def streaming_stat_window(
+    stream_df: DataFrame,
+    value_col: str = "v",
+    ts_col: str = "window_start",
+    key_col: str = "event_type",
+    stat: str = "mean",
+    window_size: int = 5,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Streaming trailing-window statistic + fixed-threshold label — the
+    online twin of ``windows.stat_window`` (Statistical*.py semantics) for
+    unbounded streams. State per key = the last window_size−1 values
+    (O(w), no growth). Causality note: the batch operator backfills the
+    first w−1 rows with out[w−1] (needs FUTURE values); the stream emits
+    the partial-window stat there instead, and the parity contract is
+    rows t ≥ w−1, where both paths compute the identical full-window
+    trailing stat. `threshold` (if given) appends the binarize label the
+    reference's Statistical ops expose."""
+    import numpy as np
+
+    fns = {"mean": np.mean, "maximum": np.max, "minimum": np.min,
+           "vec_sum": np.sum, "std": lambda a: np.std(a),
+           "abs_energy": lambda a: float((np.asarray(a) ** 2).sum())}
+    kern = fns[stat]
+    out_schema = (
+        f"`{key_col}` string, `{ts_col}` timestamp, "
+        f"`{value_col}` double, `{value_col}_{stat}` double"
+        + (", label int" if threshold is not None else "")
+    )
+    state_schema = "buf array<double>"
+
+    def fn(key, pdfs, state: GroupState):
+        buf = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, y in zip(pdf[ts_col], pdf[value_col]):
+                y = float(y)
+                buf.append(y)
+                if len(buf) > window_size:
+                    buf.pop(0)
+                sv = float(kern(np.asarray(buf)))
+                row = [key[0], ts, y, sv]
+                if threshold is not None:
+                    row.append(int(sv > threshold))
+                rows.append(tuple(row))
+        state.update((buf[-(window_size - 1):] if window_size > 1 else [],))
+        cols = [key_col, ts_col, value_col, f"{value_col}_{stat}"]
+        if threshold is not None:
+            cols.append("label")
+        yield pd.DataFrame(rows, columns=cols)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stateful_stream_from_parquet(
     spark,
     src_dir: str,
