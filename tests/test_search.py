@@ -59,3 +59,20 @@ def test_search_ranks_by_metric_and_flags_errors(spark):
     # the sparse-contamination detectors find the 3 planted anomalies well
     assert completed[0]["score"] > 0.6  # f1_macro >> chance
     assert completed[0]["score"] == -completed[0]["rank"]
+
+
+def test_evaluate_pipeline_single_config(spark):
+    """Entry point A: one config in, one scored result out."""
+    from tods_spark.search import evaluate_pipeline
+
+    df = spark.createDataFrame(_labeled_series())
+    res = evaluate_pipeline(
+        df,
+        {"timeseries_processing": [],
+         "feature_analysis": [],
+         "detection": {"method": "autoreg", "value_col": "value",
+                       "window_size": 10, "contamination": 0.01}},
+        truth_col="is_anomaly", keys=["source"], order_col="timestamp",
+    )
+    assert res["status"] == "COMPLETED"
+    assert res["score"] > 0.6

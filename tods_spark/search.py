@@ -92,6 +92,29 @@ def _row_space_labels(out: DataFrame, det: dict, keys: list[str],
     )
 
 
+def evaluate_pipeline(
+    df: DataFrame,
+    config: dict,
+    truth_col: str,
+    metric: str = "f1_macro",
+    keys: list[str] | None = None,
+    order_col: str = "timestamp",
+) -> dict:
+    """Reference entry point A (`evaluate_pipeline(dataset, pipeline,
+    metric)`, README.md:64-84): run ONE pipeline config on labeled data and
+    return its score — the single-pipeline form of brute_force_search, same
+    row alignment and ranking conventions."""
+    res = brute_force_search(
+        df, truth_col,
+        space={"timeseries_processing": [config.get("timeseries_processing", [])],
+               "feature_analysis": [config.get("feature_analysis", [])],
+               "detection": [dict(config["detection"])],
+               "contamination": [config["detection"].get("contamination", 0.1)]},
+        metric=metric, keys=keys, order_col=order_col,
+    )
+    return res[0]
+
+
 def brute_force_search(
     df: DataFrame,
     truth_col: str,
