@@ -131,3 +131,35 @@ def test_manifest_snapshots(spark, tmp_path):
     assert len(out.snapshots()) == len(tbl_snaps)
     # manifest is invisible to the parquet reader
     assert out.read().count() > 0
+
+
+def test_compaction_merges_small_files(spark, tmp_path):
+    """Iceberg-style maintenance: many per-run appends leave one file per
+    run per partition; compact() rewrites only the fragmented partitions
+    (atomic dynamic overwrite), preserves every row, and logs a snapshot."""
+    import pandas as pd
+
+    from tods_spark.sources.storage import PartitionedTable
+
+    t = PartitionedTable(spark, str(tmp_path / "tier"), ["part_key"])
+    for run in range(4):  # 4 appends -> 4 files in each partition
+        pdf = pd.DataFrame({
+            "part_key": ["2024-01-01"] * 5 + ["2024-01-02"] * 5,
+            "v": [float(run * 10 + i) for i in range(10)],
+        })
+        t.append(spark.createDataFrame(pdf))
+    before = {r["partition"]: r["n_files"] for r in t.file_report()}
+    assert all(n >= 4 for n in before.values())
+    rows_before = t.read().orderBy("part_key", "v").toPandas()
+
+    done = t.compact(min_files=2)
+    assert set(done) == set(before)
+    after = {r["partition"]: r["n_files"] for r in t.file_report()}
+    assert all(n <= 2 for n in after.values())  # small data -> ~1 file
+    rows_after = t.read().orderBy("part_key", "v").toPandas()
+    pd.testing.assert_frame_equal(
+        rows_before.reset_index(drop=True), rows_after.reset_index(drop=True)
+    )
+    assert t.snapshots()[-1]["op"] == "compact"
+    # already-compact table: no-op
+    assert t.compact(min_files=2) == {}

@@ -95,3 +95,75 @@ class PartitionedTable:
             return []
         rows = self.read().select(*self.partition_cols).distinct().collect()
         return [r.asDict() for r in rows]
+
+    def file_report(self) -> list[dict]:
+        """(partition dir, n_files, bytes) per leaf partition — the input to
+        a compaction decision. Filesystem metadata only, no Spark job."""
+        out = []
+        for root, _dirs, files in os.walk(self.path):
+            data = [f for f in files
+                    if not f.startswith(("_", ".")) and f.endswith(".parquet")]
+            if data:
+                out.append({
+                    "partition": os.path.relpath(root, self.path),
+                    "n_files": len(data),
+                    "bytes": sum(
+                        os.path.getsize(os.path.join(root, f)) for f in data
+                    ),
+                })
+        return sorted(out, key=lambda r: r["partition"])
+
+    def compact(self, target_bytes: int = 128 * 1024 * 1024,
+                min_files: int = 2) -> dict:
+        """Iceberg-style small-file compaction: rewrite every partition
+        whose file count exceeds `min_files` into ceil(bytes/target_bytes)
+        files, via the same atomic dynamic partition overwrite the tier
+        writes use. Partitions already compact are left untouched (their
+        bytes are never read). Returns {partition: files_before} for the
+        rewritten set and logs a `compact` snapshot.
+
+        At scale this is the maintenance pass that keeps a year of 1m-tier
+        partitions from accumulating one file per micro-run: scan cost is
+        bounded by the SELECTED partitions, not the table."""
+        from pyspark.sql import functions as F
+
+        report = {r["partition"]: r for r in self.file_report()}
+        todo = {p: r for p, r in report.items() if r["n_files"] > min_files}
+        if not todo:
+            return {}
+        # partition dir names are col=value; select them by filter so the
+        # scan prunes to exactly the partitions being rewritten
+        conds = None
+        vals_by_col: dict[str, set] = {}
+        for p in todo:
+            for seg in p.split(os.sep):
+                col, _, val = seg.partition("=")
+                vals_by_col.setdefault(col, set()).add(val)
+        df = self.read()
+        for col, vals in vals_by_col.items():
+            conds = F.col(col).isin(sorted(vals)) if conds is None else (
+                conds & F.col(col).isin(sorted(vals))
+            )
+        selected = df.filter(conds)
+        # files per partition dir = ceil(partition bytes / target); a salt
+        # bucket splits oversized partitions while small ones stay 1 file
+        n_out = max(1, -(-max(r["bytes"] for r in todo.values())
+                         // target_bytes))
+        salted = selected.withColumn(
+            "__salt__",
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_out)),
+        )
+        compacted = salted.repartition(
+            *self.partition_cols, "__salt__"
+        ).drop("__salt__")
+        (
+            compacted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*self.partition_cols)
+            .parquet(self.path)
+        )
+        self._append_snapshot(
+            op="compact",
+            partitions={p: r["n_files"] for p, r in todo.items()},
+        )
+        return {p: r["n_files"] for p, r in todo.items()}
