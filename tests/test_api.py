@@ -90,3 +90,27 @@ def test_detector_core_as_detection_stage(spark):
             "label"} <= set(out.columns)
     flagged = out[out.label == 1]
     assert ((flagged.left_ind <= 150) & (flagged.right_ind >= 150)).any()
+
+
+def test_pipeline_save_load_round_trip(spark, tmp_path):
+    """save_fitted_pipeline/load_fitted_pipeline analogue: a saved config
+    rebuilds a pipeline that produces identical results."""
+    from tods_spark.api import load_pipeline, save_pipeline
+
+    cfg = {
+        "keys": ["source"], "order_col": "timestamp",
+        "timeseries_processing": [{"op": "moving_average", "cols": ["value"]}],
+        "feature_analysis": [],
+        "detection": {"score_col": "value_moving_average",
+                      "contamination": 0.1},
+    }
+    pdf = pd.DataFrame({
+        "source": "s1", "timestamp": np.arange(40.0),
+        "value": np.sin(np.arange(40) / 3.0),
+    })
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "pipe.json")
+    save_pipeline(cfg, path)
+    a = build_pipeline(cfg)(df).orderBy("timestamp").toPandas()
+    b = load_pipeline(path)(df).orderBy("timestamp").toPandas()
+    pd.testing.assert_frame_equal(a, b)

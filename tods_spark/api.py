@@ -97,6 +97,33 @@ def _stage(cfg: dict, keys, order_col):
     raise ValueError(f"unknown pipeline op {op!r}")
 
 
+def save_pipeline(config: dict, path: str) -> None:
+    """Persist a pipeline as its config JSON — the engine analogue of the
+    reference's save_fitted_pipeline (tods/utils.py:432-482, joblib of the
+    fitted runtime). A Catalyst pipeline is a PLAN, not a fitted model, so
+    the config (plus the engine version executing it) IS the artifact;
+    per-partition state lives in the checkpoint table, not the pipeline."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"format": "tods_spark.pipeline/1", "config": config}, f,
+                  indent=2, sort_keys=True)
+
+
+def load_pipeline(path: str):
+    """Rebuild the callable pipeline from a saved config
+    (load_fitted_pipeline analogue, tods/utils.py:484-537)."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("format") != "tods_spark.pipeline/1":
+        raise ValueError(f"not a tods_spark pipeline file: {path}")
+    return build_pipeline(doc["config"])
+
+
 def build_pipeline(config: dict):
     """config → callable(DataFrame) → DataFrame (lazy, single plan)."""
     keys = config.get("keys", [])
