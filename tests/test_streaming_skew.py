@@ -175,3 +175,62 @@ def test_stateful_streaming_stat_window_matches_batch(spark, tmp_path):
             g["label"].to_numpy()[w - 1:],
             (g["v_mean"].to_numpy()[w - 1:] > 10.0).astype(int),
         )
+
+
+def test_streaming_chained_cascade_matches_batch(spark, tmp_path):
+    """raw -> 1m -> 1h chained inside ONE streaming query (two stateful
+    windowed aggs, window_time propagation): every emitted 1h window
+    matches the batch cascade exactly."""
+    from tods_spark.datagen import SCHEMA, token_table
+    from tods_spark.operators.rollup import rollup_cascade, rollup_raw
+    from tods_spark.streaming.rollup_stream import streaming_cascade_1m_1h
+    from pyspark.sql.types import _parse_datatype_string
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "cascade_src")
+    # sequential time-range chunks written one job at a time: strictly
+    # increasing mtimes give the file stream a DETERMINISTIC in-order
+    # replay (the per-key ordering a Kafka source guarantees); a bulk
+    # multi-file write gets replayed in mtime-jumbled order and rows
+    # beyond the watermark are (correctly) dropped
+    tok = token_table(spark, 3000, partitions=6)
+    b = tok.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    edges = pd.date_range(b["lo"], b["hi"], periods=7)
+    for i in range(6):
+        upper = (F.col("ts") <= str(edges[i + 1])) if i == 5 else (
+            F.col("ts") < str(edges[i + 1])
+        )
+        (tok.filter((F.col("ts") >= str(edges[i])) & upper)
+         .coalesce(1).write.parquet(f"{src}/batch={i:02d}"))
+    batch = (
+        rollup_cascade(
+            rollup_raw(spark.read.parquet(src + "/batch=*"), "1m"),
+            "1m", "1h",
+        )
+        .orderBy("source", "window_start")
+        .toPandas()
+    )
+    stream = (
+        spark.readStream.schema(_parse_datatype_string(SCHEMA))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch=*")
+    )
+    out = streaming_cascade_1m_1h(stream)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("cascade_stream").start())
+    q.processAllAvailable()
+    q.stop()
+    streamed = (spark.sql("SELECT * FROM cascade_stream")
+                .orderBy("source", "window_start").toPandas())
+    # the watermark holds back trailing incomplete windows; everything
+    # emitted must match the batch tier exactly
+    assert len(streamed) >= 0.5 * len(batch) and len(streamed) > 0
+    merged = streamed.merge(batch, on=["source", "window_start"],
+                            suffixes=("_s", "_b"))
+    assert len(merged) == len(streamed)
+    for c in ("cnt", "sum_n_tok", "min_n_tok", "max_n_tok", "avg_n_tok",
+              "sum_sq_n_tok"):
+        np.testing.assert_allclose(merged[f"{c}_s"], merged[f"{c}_b"],
+                                   rtol=1e-12, err_msg=c)

@@ -56,6 +56,57 @@ def streaming_rollup_1m(
     )
 
 
+def streaming_cascade_1m_1h(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    keys: tuple[str, ...] = ("source",),
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """CHAINED streaming tier cascade — raw → 1m → 1h inside ONE streaming
+    query (Spark ≥3.4 multiple-stateful-operator support): the 1m windowed
+    aggregation keeps its window struct, and the 1h tier re-aggregates the
+    1m ALGEBRAIC state on `window(window_time(w), '1 hour')`, exactly the
+    batch rollup_cascade composition (sum of cnt/sums, min of mins, max of
+    maxes). State stays bounded by the watermark at both levels; each
+    finalized 1h window is emitted once in append mode."""
+    v = F.col(value_col).cast("double")
+    t1m = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.window(ts_col, "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(v).alias("sum_n_tok"),
+            F.min(v).alias("min_n_tok"),
+            F.max(v).alias("max_n_tok"),
+            F.sum(v * v).alias("sum_sq_n_tok"),
+        )
+    )
+    return (
+        t1m.groupBy(
+            *keys, F.window(F.window_time("w"), "1 hour").alias("w1h")
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_n_tok").alias("sum_n_tok"),
+            F.min("min_n_tok").alias("min_n_tok"),
+            F.max("max_n_tok").alias("max_n_tok"),
+            F.sum("sum_sq_n_tok").alias("sum_sq_n_tok"),
+        )
+        .select(
+            *keys,
+            F.col("w1h.start").alias("window_start"),
+            F.lit("1h").alias("tier"),
+            "cnt",
+            "sum_n_tok",
+            "min_n_tok",
+            "max_n_tok",
+            (F.col("sum_n_tok") / F.col("cnt")).alias("avg_n_tok"),
+            "sum_sq_n_tok",
+        )
+    )
+
+
 def run_stream_from_parquet(
     spark: SparkSession,
     src_dir: str,
