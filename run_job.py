@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--verify-resume", action="store_true",
                     help="re-fingerprint done partitions before skipping "
                          "them; drifted partitions are recomputed")
+    ap.add_argument("--compact", action="store_true",
+                    help="merge small files per tier partition after the "
+                         "cascade (Iceberg-style maintenance)")
     args = ap.parse_args()
 
     from tods_spark.pipeline import run_engine
@@ -51,6 +54,7 @@ def main() -> None:
         job_id=args.job_id,
         with_digest=not args.no_digest,
         verify_resume=args.verify_resume,
+        compact=args.compact,
         now=datetime.now(timezone.utc).replace(tzinfo=None)
         if args.retention
         else None,

@@ -46,6 +46,7 @@ def run_engine(
     pack: bool = True,
     dedup: str | None = None,
     verify_resume: bool = False,
+    compact: bool = False,
 ) -> dict:
     """Run the full cascade with checkpointed writes; returns per-tier
     stats {tier: {"computed": [...], "skipped": [...], "rows_out": n}}.
@@ -108,6 +109,14 @@ def run_engine(
         PartitionedTable(
             spark, f"{base_dir}/tier_1m_gorilla", ["part_key"]
         ).overwrite_partitions(packed)
+
+    if compact:
+        # maintenance pass: merge per-run small files tier by tier (no-op
+        # for partitions already at <=2 files)
+        for tier, table in (("1m", t1m_table), ("1h", t1h_table),
+                            ("1d", t1d_table)):
+            done = table.compact()
+            report.setdefault("compacted", {})[tier] = done
 
     if now is not None:
         for tier, table in (("1m", t1m_table), ("1h", t1h_table),
