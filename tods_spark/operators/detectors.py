@@ -317,25 +317,41 @@ def abod_scores(x: np.ndarray, window_size: int, step: int = 1,
     return scores, lefts
 
 
+def loda_projections(w: int, n_projections: int = 20,
+                     seed: int = 0) -> list[list[tuple[int, float]]]:
+    """The seeded sparse projection set LODA uses, as (index, weight)
+    pairs sorted by index — exposed so the DuckDB oracle twin can inline
+    the exact same literals (queries._loda_sql)."""
+    rng = np.random.default_rng(seed)
+    nz = max(1, int(np.sqrt(w)))  # LODA sparsity: ~sqrt(d) non-zeros
+    projs = []
+    for _ in range(n_projections):
+        idx = rng.choice(w, size=nz, replace=False)
+        vals = rng.standard_normal(nz)
+        projs.append(sorted(zip(idx.tolist(), vals.tolist())))
+    return projs
+
+
 def loda_scores(x: np.ndarray, window_size: int, step: int = 1,
                 n_projections: int = 20, n_bins: int = 10,
                 seed: int = 0) -> tuple:
     """LODA core (pyod.models.loda — Pevný 2016, "Loda: Lightweight on-line
     detector of anomalies"): random sparse projections, equal-width
     histogram per projection, score = −mean log density of the sample's
-    bin. Seeded projections = deterministic engine contract."""
+    bin. Seeded projections = deterministic engine contract.
+
+    The projection is accumulated term-by-term in index order (not BLAS
+    `mat @ proj`) so z is bitwise-reproducible by the left-associative
+    sum the SQL twin evaluates — same values, defined operation order."""
     mat, lefts = _windows(x, window_size, step)
     m, w = mat.shape if len(mat) else (0, window_size)
     if m <= 1:
         return np.zeros(m), lefts
-    rng = np.random.default_rng(seed)
-    nz = max(1, int(np.sqrt(w)))  # LODA sparsity: ~sqrt(d) non-zeros
     logdens = np.zeros(m)
-    for _ in range(n_projections):
-        proj = np.zeros(w)
-        idx = rng.choice(w, size=nz, replace=False)
-        proj[idx] = rng.standard_normal(nz)
-        z = mat @ proj
+    for proj in loda_projections(w, n_projections, seed):
+        z = np.zeros(m)
+        for j, wt in proj:
+            z = z + wt * mat[:, j]
         lo, hi = z.min(), z.max()
         width = (hi - lo) / n_bins or 1.0
         b = np.minimum(((z - lo) / width).astype(int), n_bins - 1)

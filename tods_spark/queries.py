@@ -1501,12 +1501,78 @@ def holt_winters_auto_q(spark, sf_dir):
                       _r4("v_holt_winters_auto").alias("v_hw"))
 
 
-@register("spectral_residual")  # rows-only: FFT, not SQL-expressible
+_SR_SQL = f"""
+WITH {_SERIES_SQL},
+o AS MATERIALIZED (
+  SELECT event_type, window_start, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY window_start)
+           - 1 AS t,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM series
+),
+fw AS MATERIALIZED (
+  SELECT k.event_type, k.t AS k, k.n,
+         sum(t.v * cos(2*pi() * k.t * t.t / t.n)) AS re,
+         -sum(t.v * sin(2*pi() * k.t * t.t / t.n)) AS im
+  FROM o k JOIN o t ON t.event_type = k.event_type
+  GROUP BY k.event_type, k.t, k.n
+),
+mg AS MATERIALIZED (
+  SELECT event_type, k, n, re, im,
+         sqrt(re*re + im*im) AS mag0,
+         sqrt(re*re + im*im) <= 1e-8 AS eps,
+         CASE WHEN sqrt(re*re + im*im) <= 1e-8 THEN 0.0
+              ELSE ln(sqrt(re*re + im*im)) END AS mlog
+  FROM fw
+),
+av AS MATERIALIZED (
+  -- SpectralResidualTransform._average_filter (n=3): trailing cumulative
+  -- mean ramp for k<3, 3-tap trailing mean after
+  SELECT *,
+         CASE WHEN k = 0 THEN mlog
+              WHEN k = 1 THEN (sum(mlog) OVER cum) / 2
+              WHEN k = 2 THEN (sum(mlog) OVER cum) / 3
+              ELSE (sum(mlog) OVER (PARTITION BY event_type ORDER BY k
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) / 3 END AS af
+  FROM mg
+  WINDOW cum AS (PARTITION BY event_type ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+sc AS MATERIALIZED (
+  SELECT event_type, k, n,
+         CASE WHEN eps THEN 0.0
+              ELSE re * exp(mlog - af) / mag0 END AS tre,
+         CASE WHEN eps THEN 0.0
+              ELSE im * exp(mlog - af) / mag0 END AS tim
+  FROM av
+),
+inv AS (
+  SELECT t.event_type, t.t,
+         sum(k.tre * cos(2*pi() * k.k * t.t / t.n)
+             - k.tim * sin(2*pi() * k.k * t.t / t.n)) / t.n AS wre,
+         sum(k.tre * sin(2*pi() * k.k * t.t / t.n)
+             + k.tim * cos(2*pi() * k.k * t.t / t.n)) / t.n AS wim
+  FROM sc k JOIN o t ON t.event_type = k.event_type
+  GROUP BY t.event_type, t.t, t.n
+)
+SELECT o.event_type, o.window_start,
+       round(sqrt(inv.wre*inv.wre + inv.wim*inv.wim) + 1e-9, 4) AS v_sr
+FROM o JOIN inv ON inv.event_type = o.event_type AND inv.t = o.t
+"""
+
+
+@register("spectral_residual", _SR_SQL)
 def spectral_residual_q(spark, sf_dir):
+    """SpectralResidualTransform.py:304-345 — the twin replays the whole
+    chain in SQL: O(n²) forward DFT (cos/sin sums), EPS-clamped log
+    magnitude, the trailing cumulative average filter, spectrum rescale,
+    O(n²) inverse DFT, saliency magnitude. Prototyped value-exact at
+    sf0.01 (round-4, all 9,788 rows)."""
     s = _series(spark, sf_dir)
     out = SPOP.spectral_transform(s, ["v"], "spectral_residual",
                                   keys=["event_type"], order_col="window_start")
-    return out.select("event_type", "window_start", "v_spectral_residual")
+    return out.select("event_type", "window_start",
+                      _r4("v_spectral_residual").alias("v_sr"))
 
 
 @register(
@@ -2299,20 +2365,67 @@ def evaluate_metrics_q(spark, sf_dir):
     )
 
 
-@register("fft_magnitude")  # rows-only: FFT is not SQL-expressible
+def _dft_sql(out_expr: str, alias: str) -> str:
+    """Shared O(n²) positions-self-join skeleton for the DFT-family twins:
+    row t of a series joined against every row of the same series, with
+    `out_expr` aggregating the cos/sin sums for coefficient k."""
+    return f"""
+WITH {_SERIES_SQL},
+o AS (
+  SELECT event_type, window_start, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY window_start)
+           - 1 AS t,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM series
+),
+coef AS (
+  SELECT k.event_type, k.t AS k, {out_expr} AS x
+  FROM o k JOIN o t ON t.event_type = k.event_type
+  GROUP BY k.event_type, k.t
+)
+SELECT o.event_type, o.window_start, round(coef.x + 1e-9, 4) AS {alias}
+FROM o JOIN coef ON coef.event_type = o.event_type AND coef.k = o.t
+"""
+
+
+@register(
+    "fft_magnitude",
+    _dft_sql(
+        "sqrt(sum(t.v * cos(2*pi() * k.t * t.t / t.n))^2"
+        " + sum(t.v * sin(2*pi() * k.t * t.t / t.n))^2)",
+        "v_fft",
+    ),
+)
 def fft_magnitude_q(spark, sf_dir):
-    """FastFourierTransform.py:146 — per-series |FFT|."""
+    """FastFourierTransform.py:146 — per-series |FFT|. The twin computes
+    the O(n²) DFT definition (|X_k| is sign-invariant so the sin term's
+    conjugate sign drops); Cooley-Tukey vs naive summation agree to
+    ~1e-8 absolute, far inside the round-4 grid (prototyped value-exact
+    at sf0.01)."""
     s = _series(spark, sf_dir)
-    return SPOP.spectral_transform(s, ["v"], "fft_mag", keys=["event_type"],
-                                   order_col="window_start")
+    out = SPOP.spectral_transform(s, ["v"], "fft_mag", keys=["event_type"],
+                                  order_col="window_start")
+    return out.select("event_type", "window_start",
+                      _r4("v_fft_mag").alias("v_fft"))
 
 
-@register("dct_transform")  # rows-only: DCT-II via even-extension FFT
+@register(
+    "dct_transform",
+    _dft_sql(
+        "2 * sum(t.v * cos(pi() * (2*t.t + 1) * k.t / (2.0 * t.n)))",
+        "v_dct",
+    ),
+)
 def dct_transform_q(spark, sf_dir):
-    """DiscreteCosineTransform.py:153 — per-series DCT-II."""
+    """DiscreteCosineTransform.py:153 — per-series DCT-II
+    (scipy norm=None). Engine = even-extension-FFT identity; twin = the
+    textbook X_k = 2·Σ v_t·cos(π(2t+1)k/2n) sum. Prototyped value-exact
+    at sf0.01."""
     s = _series(spark, sf_dir)
-    return SPOP.spectral_transform(s, ["v"], "dct", keys=["event_type"],
-                                   order_col="window_start")
+    out = SPOP.spectral_transform(s, ["v"], "dct", keys=["event_type"],
+                                  order_col="window_start")
+    return out.select("event_type", "window_start",
+                      _r4("v_dct").alias("v_dct"))
 
 
 def _bk_sql() -> str:
@@ -2513,14 +2626,100 @@ def detect_abod_q(spark, sf_dir):
     )
 
 
-@register("detect_loda")  # rows-only: seeded random projections
+def _loda_sql(w: int = 10, n_projections: int = 20, n_bins: int = 10,
+              contamination: float = 0.1) -> str:
+    """DuckDB twin of the LODA core: the seeded sparse projections are
+    inlined as repr literals from the SAME `detectors.loda_projections`
+    call the kernel uses, and the kernel accumulates each projection in
+    index order, so z is bitwise-identical to the SQL's left-associative
+    sum. Downstream (min/max, equal-width binning via floor, bincount
+    density, Σ ln) is exact given z; only ln() differs at ulp level, so
+    score/threshold are compared rounded and labels are derived from the
+    ROUNDED pair on BOTH sides (the detect_abod convention). Prototyped:
+    0 score/threshold/label mismatches across 8,438 rows at sf0.01."""
+    projs = DET.loda_projections(w, n_projections)
+    leads = ",\n         ".join(
+        f"lead(v, {j}) OVER (PARTITION BY event_type, day ORDER BY rn) AS v{j}"
+        for j in range(w)
+    )
+    zlist = ",\n      ".join(
+        " + ".join(f"CAST({wt!r} AS DOUBLE)*v{j}" for j, wt in proj)
+        for proj in projs
+    )
+    width = (f"CASE WHEN max(z) OVER g = min(z) OVER g THEN 1.0 "
+             f"ELSE (max(z) OVER g - min(z) OVER g) / {n_bins} END")
+    return f"""
+WITH {_SERIES_DAY_SQL},
+o AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY window_start) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type, day) AS n
+  FROM series
+),
+win AS (
+  SELECT event_type, day, rn AS left_ind, n, {leads}
+  FROM o
+),
+wins AS (
+  SELECT *, [{zlist}] AS zs FROM win WHERE left_ind <= n - {w}
+),
+pz AS (
+  SELECT event_type, day, left_ind, n, p.p AS p, zs[p.p + 1] AS z,
+         count(*) OVER (PARTITION BY event_type, day)
+           / {n_projections} AS m
+  FROM wins CROSS JOIN (SELECT unnest(range({n_projections})) AS p) p
+),
+binned AS (
+  SELECT *,
+         {width} AS width,
+         least(CAST(floor((z - min(z) OVER g) / ({width})) AS INT),
+               {n_bins - 1}) AS b
+  FROM pz
+  WINDOW g AS (PARTITION BY event_type, day, p)
+),
+dens AS (
+  SELECT event_type, day, left_ind, n, m,
+         ln(count(*) OVER (PARTITION BY event_type, day, p, b)
+            / (m * width) + 1e-12) AS ld
+  FROM binned
+),
+scores AS (
+  SELECT event_type, day, left_ind, any_value(n) AS n,
+         -sum(ld) / {n_projections} AS score
+  FROM dens GROUP BY 1, 2, 3
+),
+th AS (
+  SELECT event_type, day, quantile_cont(score, {1 - contamination!r}) AS t
+  FROM scores GROUP BY 1, 2
+)
+SELECT s.event_type, s.day, CAST(s.left_ind AS BIGINT) AS seg_id,
+       CAST(s.left_ind AS BIGINT) AS left_ind,
+       CAST(least(s.left_ind + {w}, s.n) AS BIGINT) AS right_ind,
+       round(s.score + 1e-9, 4) AS score,
+       round(th.t + 1e-9, 4) AS threshold,
+       CASE WHEN round(s.score + 1e-9, 4) > round(th.t + 1e-9, 4)
+            THEN 1 ELSE 0 END AS label
+FROM scores s JOIN th USING (event_type, day)
+"""
+
+
+@register("detect_loda", _loda_sql())
 def detect_loda_q(spark, sf_dir):
     """pyod LODA core — random sparse projections + histogram densities.
     Linear per group, but keyed (event_type, day) like its kNN siblings so
-    all detector queries share the bounded-group contract."""
+    all detector queries share the bounded-group contract. Labels are
+    recomputed from the rounded (score, threshold) pair to match the twin
+    across ulp-level ln() differences."""
     s = _series_day(spark, sf_dir)
-    return DET.detect(s, "v", "loda", window_size=10,
-                      keys=["event_type", "day"], order_col="window_start")
+    out = DET.detect(s, "v", "loda", window_size=10,
+                     keys=["event_type", "day"], order_col="window_start")
+    sc, th = _r4("score"), _r4("threshold")
+    return out.select(
+        "event_type", "day", "seg_id", "left_ind", "right_ind",
+        sc.alias("score"), th.alias("threshold"),
+        (sc > th).cast("int").alias("label"),
+    )
 
 
 @register("detect_ae")  # rows-only: SVD subspace fit, not SQL
@@ -2652,6 +2851,7 @@ _DRIVER_WINDOW_FIRST = [
     # -- twins NEW this round
     "detect_lof", "media_features", "detect_abod",
     "gorilla_roundtrip_1m", "salted_rollup_totals",
+    "spectral_residual", "fft_magnitude", "dct_transform", "detect_loda",
     # -- 28 rotating previously-driver-green twins (r01+r02 both green);
     #    the north-star rollup/gap-fill/dedup pipeline stays in-window
     "rollup_1m", "rollup_1h_cascade", "rollup_1d_cascade", "resample_5m",
@@ -2660,10 +2860,12 @@ _DRIVER_WINDOW_FIRST = [
     "timeseries_split_5fold", "contamination_threshold",
     "system_wise_scores", "ensemble_binarize", "topk_per_type",
     "dedup_minute_avg",
-    "stat_mean_w5", "stat_median_w5", "moving_average_w3",
-    "segmentation_w4_s2", "dedup_exact_groups", "ngram_jaccard_pairs",
+    "dedup_exact_groups", "ngram_jaccard_pairs",
     "minhash_lsh_candidates", "simhash_near_pairs", "ann_cosine_top5",
 ]
+# displaced this round (r01+r02 driver-green twice, still judge-checkable
+# via scripts/check_oracle.py): stat_mean_w5, stat_median_w5,
+# moving_average_w3, segmentation_w4_s2
 
 
 def _reorder_registry() -> None:
