@@ -281,3 +281,45 @@ def test_multivariate_detect_combines_dimensions(spark):
         np.testing.assert_allclose(out["score"], exp, rtol=1e-9, err_msg=comb)
         th = np.percentile(exp, 90)
         np.testing.assert_allclose(out["threshold"].iloc[0], th, rtol=1e-9)
+
+
+def test_sod_matches_independent_reimplementation():
+    """SOD parity vs an independent per-point set-based construction
+    (python set intersections for SNN, explicit loops — not the boolean
+    matrix-multiply the kernel uses)."""
+    rng = np.random.default_rng(11)
+    X = np.concatenate([rng.normal(0, 1, 50), [9.0], rng.normal(0, 1, 9)])
+    k, r, alpha = 10, 5, 0.8
+    scores, lefts = DET.sod_scores(X, window_size=1, n_neighbors=k,
+                                   ref_set=r, alpha=alpha)
+
+    mat = X.reshape(-1, 1)
+    m, w = mat.shape
+    d = np.abs(mat - mat.T) ** 2
+    np.fill_diagonal(d, np.inf)
+    knn = [set(np.argsort(d[i], kind="stable")[:k].tolist()) for i in range(m)]
+    exp = np.empty(m)
+    for i in range(m):
+        sims = np.array(
+            [len(knn[i] & knn[j]) if j != i else -1 for j in range(m)]
+        )
+        top = sorted(range(m), key=lambda j: (-sims[j], j))[:r]
+        ref = mat[top]
+        means, variances = ref.mean(0), ref.var(0)
+        rel = variances < alpha * variances.sum() / w
+        if rel.sum() == 0:
+            exp[i] = 0.0
+        else:
+            exp[i] = np.sqrt(((mat[i] - means)[rel] ** 2).sum() / rel.sum())
+    np.testing.assert_allclose(scores, exp, rtol=1e-12)
+    assert scores[50] == scores.max()  # planted outlier
+
+
+def test_sod_detect_spark(spark):
+    x = _series_with_spike()
+    pdf = pd.DataFrame({"timestamp": range(len(x)), "value": x})
+    sdf = spark.createDataFrame(pdf)
+    out = DET.detect(sdf, "value", "sod", window_size=12,
+                     contamination=0.02).toPandas()
+    flagged = out[out.label == 1]
+    assert ((flagged.left_ind <= 200) & (flagged.right_ind >= 200)).any()

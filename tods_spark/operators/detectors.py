@@ -478,10 +478,64 @@ def cof_scores(x: np.ndarray, window_size: int, step: int = 1,
     return ac * k / denom, lefts
 
 
+def sod_scores(x: np.ndarray, window_size: int, step: int = 1,
+               n_neighbors: int = 10, ref_set: int = 5,
+               alpha: float = 0.8) -> tuple:
+    """SOD core (PyodSOD.py:125 → pyod.models.sod; Kriegel, Kröger,
+    Schubert & Zimek 2009, "Outlier detection in axis-parallel subspaces
+    of high dimensional data"): for each window p,
+
+      1. kNN by Euclidean distance (k = n_neighbors, self excluded),
+      2. SNN similarity sim(p, q) = |kNN(p) ∩ kNN(q)|,
+      3. reference set R(p) = `ref_set` points of highest SNN similarity
+         (ties broken by index — deterministic),
+      4. relevant subspace = dims whose variance over R(p) is below
+         alpha · (mean per-dim variance of R(p)),
+      5. score = sqrt(Σ_relevant (p − mean(R))² / |relevant|)
+         (distance to the axis-parallel reference hyperplane, normalized
+         by the subspace dimensionality; 0 if no dim qualifies).
+
+    O(m²) distance + SNN matrices — quadratic kernel, bounded-group
+    contract applies."""
+    mat, lefts = _windows(x, window_size, step)
+    m, w = mat.shape if len(mat) else (0, window_size)
+    if m <= 2:
+        return np.zeros(m), lefts
+    k = min(n_neighbors, m - 1)
+    r = min(ref_set, m - 1)
+    sq = (mat**2).sum(1)
+    d2 = np.maximum(sq[:, None] + sq[None, :] - 2 * (mat @ mat.T), 0)
+    np.fill_diagonal(d2, np.inf)
+    # kNN index lists (stable argsort → deterministic under ties)
+    knn = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    member = np.zeros((m, m), dtype=bool)
+    np.put_along_axis(member, knn, True, axis=1)
+    snn = member.astype(np.int32) @ member.astype(np.int32).T
+    np.fill_diagonal(snn, -1)  # self never enters its own reference set
+    scores = np.empty(m)
+    for i in range(m):
+        # top-r by SNN similarity, index-ascending among ties
+        order = np.lexsort((np.arange(m), -snn[i]))[:r]
+        ref = mat[order]
+        means = ref.mean(0)
+        variances = ref.var(0)
+        var_expect = alpha * variances.sum() / w
+        rel = variances < var_expect
+        nrel = int(rel.sum())
+        if nrel == 0:
+            scores[i] = 0.0
+        else:
+            diff = mat[i] - means
+            scores[i] = float(np.sqrt((diff[rel] ** 2).sum() / nrel))
+    return scores, lefts
+
+
 _CORES["ae"] = ae_scores
 _CORES["cblof"] = cblof_scores
 _CORES["cof"] = cof_scores
+_CORES["sod"] = sod_scores
 _QUADRATIC.add("cof")
+_QUADRATIC.add("sod")
 
 
 def detect_multivariate(

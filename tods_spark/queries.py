@@ -2751,6 +2751,17 @@ def detect_cof_q(spark, sf_dir):
                       keys=["event_type", "day"], order_col="window_start")
 
 
+@register("detect_sod")  # rows-only: SNN reference sets + subspace variance
+def detect_sod_q(spark, sf_dir):
+    """PyodSOD.py:125 — subspace outlier detection: shared-nearest-
+    neighbor reference sets, low-variance relevant subspace, normalized
+    distance to the reference hyperplane. O(m²) kernel, bounded by the
+    (event_type, day) key."""
+    s = _series_day(spark, sf_dir)
+    return DET.detect(s, "v", "sod", window_size=10,
+                      keys=["event_type", "day"], order_col="window_start")
+
+
 @register("detect_multivariate_avg")  # rows-only: per-dim OLS + combine
 def detect_multivariate_q(spark, sf_dir):
     """core.MultiAutoRegOD (MultiAutoRegOD.py:17-120): univariate AutoReg
