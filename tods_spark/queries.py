@@ -1953,13 +1953,77 @@ def yeo_johnson_q(spark, sf_dir):
                                    keys=["event_type"], order_col="window_start")
 
 
-@register("matrix_profile_w20")  # rows-only: STOMP, not SQL-expressible
+def _mp_sql(m: int = 20) -> str:
+    """DuckDB twin of the STOMP matrix profile (profile VALUES only): the
+    definitional min over all non-trivial pairs of the z-normalized
+    distance 2m(1 − (dot − m·μaμb)/(m·σaσb)), windows as m lead()
+    columns. The engine's incremental-QT drift (~1e-8) and the twin's
+    fresh dots agree at round-4 because min() absorbs near-ties that
+    would flip the drift-sensitive ARGmin — so the twin compares profile
+    values and the registered query drops nn_idx. Prototyped value-exact
+    across all 9,693 rows at sf0.01 (1.4 s oracle)."""
+    excl = -(-m // 4)  # ceil(m/4), matching the kernel's exclusion zone
+    leads = ",\n         ".join(
+        f"lead(v, {j}) OVER (PARTITION BY event_type ORDER BY rn) AS v{j}"
+        for j in range(m)
+    )
+    ssum = " + ".join(f"v{j}" for j in range(m))
+    s2sum = " + ".join(f"v{j}*v{j}" for j in range(m))
+    dot = " + ".join(f"a.v{j}*b.v{j}" for j in range(m))
+    return f"""
+WITH {_SERIES_SQL},
+o AS (
+  SELECT event_type, window_start, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY window_start)
+           - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM series
+),
+win AS (
+  SELECT event_type, window_start, rn AS i, n, {leads}
+  FROM o
+),
+wins AS (
+  SELECT *, ({ssum}) / {m}.0 AS mu,
+         sqrt(greatest(({s2sum}) / {m}.0 - (({ssum}) / {m}.0)^2, 1e-14))
+           AS sig
+  FROM win WHERE i <= n - {m}
+),
+pd2 AS (
+  SELECT a.event_type, a.window_start,
+         min(greatest(2.0 * {m} * (1.0 - (({dot}) - {m} * a.mu * b.mu)
+             / ({m} * a.sig * b.sig)), 0)) AS d2
+  FROM wins a JOIN wins b
+    ON a.event_type = b.event_type AND abs(a.i - b.i) > {excl}
+  GROUP BY 1, 2
+)
+SELECT event_type, window_start, round(sqrt(d2) + 1e-9, 4) AS profile
+FROM pd2
+"""
+
+
+@register("matrix_profile_w20", _mp_sql())
 def matrix_profile_q(spark, sf_dir):
     from tods_spark.operators import matrix_profile as MPOP
 
     s = _series(spark, sf_dir)
-    return MPOP.matrix_profile(s, "v", 20, keys=["event_type"],
-                               order_col="window_start")
+    out = MPOP.matrix_profile(s, "v", 20, keys=["event_type"],
+                              order_col="window_start")
+    # join seg_id back to its window_start; nn_idx is dropped (near-tie
+    # argmins are fp-drift-sensitive — see _mp_sql)
+    w = (
+        s.withColumn(
+            "seg_id",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("window_start")
+            ) - 1,
+        )
+        .select("event_type", "seg_id", "window_start")
+    )
+    return (
+        out.join(w, ["event_type", "seg_id"])
+        .select("event_type", "window_start", _r4("profile").alias("profile"))
+    )
 
 
 @register(
@@ -2863,20 +2927,21 @@ _DRIVER_WINDOW_FIRST = [
     "detect_lof", "media_features", "detect_abod",
     "gorilla_roundtrip_1m", "salted_rollup_totals",
     "spectral_residual", "fft_magnitude", "dct_transform", "detect_loda",
+    "matrix_profile_w20",
     # -- 28 rotating previously-driver-green twins (r01+r02 both green);
     #    the north-star rollup/gap-fill/dedup pipeline stays in-window
     "rollup_1m", "rollup_1h_cascade", "rollup_1d_cascade", "resample_5m",
     "rollup_var_1h", "rollup_quantiles_1h", "gap_fill_linear",
     "denormalize_revenue", "q1_pricing_summary", "construct_predictions",
     "timeseries_split_5fold", "contamination_threshold",
-    "system_wise_scores", "ensemble_binarize", "topk_per_type",
+    "system_wise_scores", "ensemble_binarize",
     "dedup_minute_avg",
     "dedup_exact_groups", "ngram_jaccard_pairs",
     "minhash_lsh_candidates", "simhash_near_pairs", "ann_cosine_top5",
 ]
 # displaced this round (r01+r02 driver-green twice, still judge-checkable
 # via scripts/check_oracle.py): stat_mean_w5, stat_median_w5,
-# moving_average_w3, segmentation_w4_s2
+# moving_average_w3, segmentation_w4_s2, topk_per_type
 
 
 def _reorder_registry() -> None:
