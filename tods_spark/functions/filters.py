@@ -158,10 +158,18 @@ def yeo_johnson_fit(x: np.ndarray, lo: float = -4.0, hi: float = 4.0,
 
 
 def yeo_johnson_transform(x: np.ndarray, lmbda: float | None = None,
-                          standardize: bool = True) -> np.ndarray:
+                          standardize: bool = True,
+                          lmbda_decimals: int | None = None) -> np.ndarray:
+    """``lmbda_decimals`` quantizes the FITTED λ to that many decimals —
+    two independent golden-section runs (e.g. this kernel and the DuckDB
+    oracle twin) agree on λ to ~1e-7, so snapping to a coarser grid makes
+    the λ they transform with bitwise identical. None = sklearn-faithful
+    unquantized λ."""
     x = np.asarray(x, float)
     if lmbda is None:
         lmbda = yeo_johnson_fit(x)
+        if lmbda_decimals is not None:
+            lmbda = float(np.round(lmbda, lmbda_decimals))
     z = _yj(x, lmbda)
     if standardize:
         sd = z.std()

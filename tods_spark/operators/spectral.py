@@ -133,7 +133,8 @@ def spectral_transform(
                 pdf[f"{c}_{method}"] = cycle if method == "hp_cycle" else trend
             elif method == "yeo_johnson":
                 pdf[f"{c}_yeo_johnson"] = FL.yeo_johnson_transform(
-                    y, params.get("lmbda"), params.get("standardize", True)
+                    y, params.get("lmbda"), params.get("standardize", True),
+                    params.get("lmbda_decimals"),
                 )
             elif method == "wavelet_denoise":
                 coeffs = FL.haar_dwt(y, params.get("level"))
