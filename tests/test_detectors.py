@@ -305,7 +305,8 @@ def test_sod_matches_independent_reimplementation():
         )
         top = sorted(range(m), key=lambda j: (-sims[j], j))[:r]
         ref = mat[top]
-        means, variances = ref.mean(0), ref.var(0)
+        means = ref.mean(0)
+        variances = (ref**2).mean(0) - means**2
         rel = variances < alpha * variances.sum() / w
         if rel.sum() == 0:
             exp[i] = 0.0

@@ -518,7 +518,10 @@ def sod_scores(x: np.ndarray, window_size: int, step: int = 1,
         order = np.lexsort((np.arange(m), -snn[i]))[:r]
         ref = mat[order]
         means = ref.mean(0)
-        variances = ref.var(0)
+        # one-pass E[x²]−E[x]² (not np.var's two-pass): the SQL oracle
+        # twin aggregates the same Σx, Σx² sums, so the variance → rel-dim
+        # threshold comparison sees identical values in both engines
+        variances = (ref**2).mean(0) - means**2
         var_expect = alpha * variances.sum() / w
         rel = variances < var_expect
         nrel = int(rel.sum())

@@ -2886,15 +2886,133 @@ def detect_cof_q(spark, sf_dir):
                       keys=["event_type", "day"], order_col="window_start")
 
 
-@register("detect_sod")  # rows-only: SNN reference sets + subspace variance
+def _sod_sql(w: int = 10, k: int = 10, r: int = 5, alpha: float = 0.8,
+             contamination: float = 0.1) -> str:
+    """DuckDB twin of the SOD core: kNN membership as a ranked pair table
+    (row_number over (d², j) = the kernel's stable argsort), SNN
+    similarity as a self-join on shared neighbors, top-r reference set by
+    (snn DESC, j), per-dim reference variance from Σx/Σx² sums (the
+    kernel mirrors this one-pass formula so the rel-dim threshold
+    comparison sees identical values), subspace deviation score, and the
+    rounded-pair label convention. Prototyped: 0 score/threshold/label
+    mismatches across 8,438 rows at sf0.01."""
+    leads = ",\n         ".join(
+        f"lead(v, {j}) OVER (PARTITION BY event_type, day ORDER BY rn) AS v{j}"
+        for j in range(w)
+    )
+    sq = " + ".join(f"v{j}*v{j}" for j in range(w))
+    dot = " + ".join(f"a.v{j}*b.v{j}" for j in range(w))
+    vsum = ", ".join(f"sum(m.v{j}) AS s{j}, sum(m.v{j}*m.v{j}) AS q{j}"
+                     for j in range(w))
+    var_exprs = [f"(q{j} / r - (s{j} / r) * (s{j} / r))" for j in range(w)]
+    var_tot = " + ".join(var_exprs)
+    rel = [f"(CASE WHEN {var_exprs[j]} < {alpha} * vt / {w} "
+           f"THEN 1 ELSE 0 END)" for j in range(w)]
+    nrel = " + ".join(rel)
+    dev = " + ".join(f"{rel[j]} * (i.v{j} - s{j} / r) * (i.v{j} - s{j} / r)"
+                     for j in range(w))
+    return f"""
+WITH {_SERIES_DAY_SQL},
+o AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY window_start) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type, day) AS n
+  FROM series
+),
+win AS (
+  SELECT event_type, day, rn AS i, n, {leads} FROM o
+),
+wins AS (
+  SELECT *, {sq} AS sq,
+         count(*) OVER (PARTITION BY event_type, day) AS m
+  FROM win WHERE i <= n - {w}
+),
+pd2 AS (
+  SELECT a.event_type, a.day, a.i, b.i AS j, a.m,
+         greatest(a.sq + b.sq - 2*({dot}), 0) AS d2
+  FROM wins a JOIN wins b
+    ON a.event_type = b.event_type AND a.day = b.day AND a.i != b.i
+),
+knn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, day, i
+                                 ORDER BY d2, j) AS rk
+    FROM pd2
+  ) WHERE rk <= least({k}, m - 1)
+),
+sim AS (
+  SELECT a.event_type, a.day, a.i, b.i AS j, count(*) AS snn
+  FROM knn a JOIN knn b
+    ON a.event_type = b.event_type AND a.day = b.day
+   AND a.j = b.j AND a.i != b.i
+  GROUP BY 1, 2, 3, 4
+),
+refsel AS (
+  SELECT * FROM (
+    SELECT p.event_type, p.day, p.i, p.j, p.m,
+           row_number() OVER (PARTITION BY p.event_type, p.day, p.i
+                              ORDER BY coalesce(s.snn, 0) DESC, p.j) AS rk
+    FROM pd2 p
+    LEFT JOIN sim s ON s.event_type = p.event_type AND s.day = p.day
+                   AND s.i = p.i AND s.j = p.j
+  ) WHERE rk <= least({r}, m - 1)
+),
+refstat AS (
+  SELECT f.event_type, f.day, f.i,
+         CAST(least({r}, f.m - 1) AS DOUBLE) AS r, {vsum}
+  FROM refsel f
+  JOIN wins m ON m.event_type = f.event_type AND m.day = f.day AND m.i = f.j
+  GROUP BY 1, 2, 3, 4
+),
+sc AS (
+  SELECT i.event_type, i.day, i.i AS left_ind, i.n,
+         CASE WHEN ({nrel}) = 0 THEN 0.0
+              ELSE sqrt(({dev}) / ({nrel})) END AS score
+  FROM refstat rs
+  JOIN wins i ON i.event_type = rs.event_type AND i.day = rs.day
+             AND i.i = rs.i,
+  LATERAL (SELECT {var_tot} AS vt) v
+),
+allsc AS (
+  -- the kernel's m <= 2 branch emits every window with score 0
+  SELECT w.event_type, w.day, w.i AS left_ind, w.n,
+         CASE WHEN w.m <= 2 THEN 0.0 ELSE coalesce(s.score, 0.0) END AS score
+  FROM wins w
+  LEFT JOIN sc s ON s.event_type = w.event_type AND s.day = w.day
+                AND s.left_ind = w.i
+),
+th AS (
+  SELECT event_type, day, quantile_cont(score, {1 - contamination!r}) AS t
+  FROM allsc GROUP BY 1, 2
+)
+SELECT s.event_type, s.day, CAST(s.left_ind AS BIGINT) AS seg_id,
+       CAST(s.left_ind AS BIGINT) AS left_ind,
+       CAST(least(s.left_ind + {w}, s.n) AS BIGINT) AS right_ind,
+       round(s.score + 1e-9, 4) AS score,
+       round(th.t + 1e-9, 4) AS threshold,
+       CASE WHEN round(s.score + 1e-9, 4) > round(th.t + 1e-9, 4)
+            THEN 1 ELSE 0 END AS label
+FROM allsc s JOIN th USING (event_type, day)
+"""
+
+
+@register("detect_sod", _sod_sql())
 def detect_sod_q(spark, sf_dir):
     """PyodSOD.py:125 — subspace outlier detection: shared-nearest-
     neighbor reference sets, low-variance relevant subspace, normalized
     distance to the reference hyperplane. O(m²) kernel, bounded by the
-    (event_type, day) key."""
+    (event_type, day) key. Labels follow the rounded-pair convention
+    (see _loda_sql)."""
     s = _series_day(spark, sf_dir)
-    return DET.detect(s, "v", "sod", window_size=10,
-                      keys=["event_type", "day"], order_col="window_start")
+    out = DET.detect(s, "v", "sod", window_size=10,
+                     keys=["event_type", "day"], order_col="window_start")
+    sc, th = _r4("score"), _r4("threshold")
+    return out.select(
+        "event_type", "day", "seg_id", "left_ind", "right_ind",
+        sc.alias("score"), th.alias("threshold"),
+        (sc > th).cast("int").alias("label"),
+    )
 
 
 @register("detect_multivariate_avg")  # rows-only: per-dim OLS + combine
@@ -2998,14 +3116,14 @@ _DRIVER_WINDOW_FIRST = [
     "detect_lof", "media_features", "detect_abod",
     "gorilla_roundtrip_1m", "salted_rollup_totals",
     "spectral_residual", "fft_magnitude", "dct_transform", "detect_loda",
-    "matrix_profile_w20", "yeo_johnson",
+    "matrix_profile_w20", "yeo_johnson", "detect_sod",
     # -- 28 rotating previously-driver-green twins (r01+r02 both green);
     #    the north-star rollup/gap-fill/dedup pipeline stays in-window
     "rollup_1m", "rollup_1h_cascade", "rollup_1d_cascade", "resample_5m",
     "rollup_var_1h", "rollup_quantiles_1h", "gap_fill_linear",
     "denormalize_revenue", "construct_predictions",
     "timeseries_split_5fold", "contamination_threshold",
-    "system_wise_scores", "ensemble_binarize",
+    "ensemble_binarize",
     "dedup_minute_avg",
     "dedup_exact_groups", "ngram_jaccard_pairs",
     "minhash_lsh_candidates", "simhash_near_pairs", "ann_cosine_top5",
@@ -3013,7 +3131,7 @@ _DRIVER_WINDOW_FIRST = [
 # displaced this round (r01+r02 driver-green twice, still judge-checkable
 # via scripts/check_oracle.py): stat_mean_w5, stat_median_w5,
 # moving_average_w3, segmentation_w4_s2, topk_per_type,
-# q1_pricing_summary
+# q1_pricing_summary, system_wise_scores
 
 
 def _reorder_registry() -> None:
