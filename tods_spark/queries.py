@@ -2988,13 +2988,120 @@ def detect_cblof_q(spark, sf_dir):
                       n_clusters=4)
 
 
-@register("detect_cof")  # rows-only: SBN-trail chaining distances
+def _cof_sql(w: int = 10, k: int = 5, contamination: float = 0.1) -> str:
+    """DuckDB twin of the COF core: the SBN trail is the distance-sorted
+    neighbor order (cof_scores builds p = argsort(d[i])[:k+1]), so it
+    unrolls — trail members as a (d, j)-ranked pair table, step cost =
+    min distance from member ra to self plus all members rb < ra, average
+    chaining distance as the 2(k+1−ra)/((k+1)k)-weighted sum with the
+    per-group k = min(5, m−1) clamp as a column, COF = ac·k / Σ ac over
+    the k nearest. The kernel's m ≤ 2 → 1.0 and denom = 0 → 1.0 branches
+    are mirrored. Prototyped: 0 mismatches across 8,438 rows at sf0.01."""
+    leads = ",\n         ".join(
+        f"lead(v, {j}) OVER (PARTITION BY event_type, day ORDER BY rn) AS v{j}"
+        for j in range(w)
+    )
+    sq = " + ".join(f"v{j}*v{j}" for j in range(w))
+    dot = " + ".join(f"a.v{j}*b.v{j}" for j in range(w))
+    return f"""
+WITH {_SERIES_DAY_SQL},
+o AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY window_start) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type, day) AS n
+  FROM series
+),
+win AS (
+  SELECT event_type, day, rn AS i, n, {leads} FROM o
+),
+wins AS (
+  SELECT *, {sq} AS sq,
+         count(*) OVER (PARTITION BY event_type, day) AS m
+  FROM win WHERE i <= n - {w}
+),
+pd2 AS (
+  SELECT a.event_type, a.day, a.i, b.i AS j, a.m,
+         sqrt(greatest(a.sq + b.sq - 2*({dot}), 0)) AS d
+  FROM wins a JOIN wins b
+    ON a.event_type = b.event_type AND a.day = b.day AND a.i != b.i
+),
+nbr AS (
+  SELECT * FROM (
+    SELECT event_type, day, i, j, m, d, least({k}, m - 1) AS k,
+           row_number() OVER (PARTITION BY event_type, day, i
+                              ORDER BY d, j) AS ra
+    FROM pd2
+  ) WHERE ra <= least({k}, m - 1)
+),
+trail_d AS (
+  SELECT a.event_type, a.day, a.i, a.ra, a.k,
+         min(CASE WHEN b.ra IS NULL THEN NULL ELSE p.d END) AS min_later,
+         min(d0.d) AS d_self
+  FROM nbr a
+  LEFT JOIN nbr b ON b.event_type = a.event_type AND b.day = a.day
+                 AND b.i = a.i AND b.ra < a.ra
+  LEFT JOIN pd2 p ON p.event_type = a.event_type AND p.day = a.day
+                 AND p.i = a.j AND p.j = b.j
+  JOIN pd2 d0 ON d0.event_type = a.event_type AND d0.day = a.day
+             AND d0.i = a.j AND d0.j = a.i
+  GROUP BY 1, 2, 3, 4, 5
+),
+ac AS (
+  SELECT event_type, day, i,
+         sum((2.0 * (k - (ra - 1)) / ((k + 1.0) * k))
+             * least(coalesce(min_later, d_self), d_self)) AS ac_dist
+  FROM trail_d GROUP BY 1, 2, 3
+),
+cof AS (
+  SELECT n.event_type, n.day, n.i AS left_ind, any_value(n.k) AS k,
+         any_value(a_i.ac_dist) AS ac_i,
+         sum(a_o.ac_dist) AS denom
+  FROM nbr n
+  JOIN ac a_i ON a_i.event_type = n.event_type AND a_i.day = n.day
+             AND a_i.i = n.i
+  JOIN ac a_o ON a_o.event_type = n.event_type AND a_o.day = n.day
+             AND a_o.i = n.j
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT w.event_type, w.day, w.i AS left_ind, w.n,
+         CASE WHEN w.m <= 2 THEN 1.0
+              ELSE c.ac_i * c.k / (CASE WHEN c.denom = 0 THEN 1.0
+                                        ELSE c.denom END) END AS score
+  FROM wins w
+  LEFT JOIN cof c ON c.event_type = w.event_type AND c.day = w.day
+                 AND c.left_ind = w.i
+),
+th AS (
+  SELECT event_type, day, quantile_cont(score, {1 - contamination!r}) AS t
+  FROM scores GROUP BY 1, 2
+)
+SELECT s.event_type, s.day, CAST(s.left_ind AS BIGINT) AS seg_id,
+       CAST(s.left_ind AS BIGINT) AS left_ind,
+       CAST(least(s.left_ind + {w}, s.n) AS BIGINT) AS right_ind,
+       round(s.score + 1e-9, 4) AS score,
+       round(th.t + 1e-9, 4) AS threshold,
+       CASE WHEN round(s.score + 1e-9, 4) > round(th.t + 1e-9, 4)
+            THEN 1 ELSE 0 END AS label
+FROM scores s JOIN th USING (event_type, day)
+"""
+
+
+@register("detect_cof", _cof_sql())
 def detect_cof_q(spark, sf_dir):
     """PyodCOF.py:133 — connectivity-based outlier factor via set-based
-    nearest trails; O(m²) kernel, bounded by the (event_type, day) key."""
+    nearest trails; O(m²) kernel, bounded by the (event_type, day) key.
+    Rounded-pair label convention."""
     s = _series_day(spark, sf_dir)
-    return DET.detect(s, "v", "cof", window_size=10,
-                      keys=["event_type", "day"], order_col="window_start")
+    out = DET.detect(s, "v", "cof", window_size=10,
+                     keys=["event_type", "day"], order_col="window_start")
+    sc, th = _r4("score"), _r4("threshold")
+    return out.select(
+        "event_type", "day", "seg_id", "left_ind", "right_ind",
+        sc.alias("score"), th.alias("threshold"),
+        (sc > th).cast("int").alias("label"),
+    )
 
 
 def _sod_sql(w: int = 10, k: int = 10, r: int = 5, alpha: float = 0.8,
@@ -3292,12 +3399,12 @@ _DRIVER_WINDOW_FIRST = [
     "gorilla_roundtrip_1m", "salted_rollup_totals",
     "spectral_residual", "fft_magnitude", "dct_transform", "detect_loda",
     "matrix_profile_w20", "yeo_johnson", "detect_sod",
-    "detect_autoreg", "detect_multivariate_avg",
+    "detect_autoreg", "detect_multivariate_avg", "detect_cof",
     # -- 28 rotating previously-driver-green twins (r01+r02 both green);
     #    the north-star rollup/gap-fill/dedup pipeline stays in-window
     "rollup_1m", "rollup_1h_cascade", "rollup_1d_cascade", "resample_5m",
     "rollup_var_1h", "rollup_quantiles_1h", "gap_fill_linear",
-    "denormalize_revenue", "construct_predictions",
+    "denormalize_revenue",
     "timeseries_split_5fold", "contamination_threshold",
     "dedup_exact_groups", "ngram_jaccard_pairs",
     "minhash_lsh_candidates", "simhash_near_pairs", "ann_cosine_top5",
@@ -3306,7 +3413,7 @@ _DRIVER_WINDOW_FIRST = [
 # via scripts/check_oracle.py): stat_mean_w5, stat_median_w5,
 # moving_average_w3, segmentation_w4_s2, topk_per_type,
 # q1_pricing_summary, system_wise_scores, ensemble_binarize,
-# dedup_minute_avg
+# dedup_minute_avg, construct_predictions
 
 
 def _reorder_registry() -> None:
