@@ -388,12 +388,18 @@ def ae_scores(x: np.ndarray, window_size: int, step: int = 1,
     return np.sqrt((resid**2).sum(axis=1)), lefts
 
 
-def _kmeans(X: np.ndarray, k: int, seed: int, iters: int = 50):
-    """Seeded Lloyd k-means (deterministic engine contract — sklearn's
-    n_init=10 k-means++ stream is not reproduced; documented deviation).
-    Empty clusters are reseeded to the point farthest from its center."""
-    rng = np.random.default_rng(seed)
-    centers = X[rng.choice(len(X), size=k, replace=False)].astype(float)
+def _kmeans(X: np.ndarray, k: int, seed: int = 0, iters: int = 50):
+    """Lloyd k-means with STRIDED deterministic init (centers = points at
+    indices ⌊c·m/k⌋) — the engine contract; sklearn's n_init=10 k-means++
+    stream is not reproduced (documented deviation), and a data-length-
+    independent init formula is what lets the DuckDB oracle twin
+    (queries._cblof_sql) replay the identical Lloyd iterations in SQL.
+    `seed` is retained for API compatibility but unused. Empty clusters
+    are reseeded to the point farthest from its center (never fires on
+    the registered test data — the twin omits this branch and documents
+    it)."""
+    m = len(X)
+    centers = X[[(c * m) // k for c in range(k)]].astype(float)
     labels = np.full(len(X), -1)
     for _ in range(iters):
         d2 = ((X[:, None, :] - centers[None]) ** 2).sum(axis=2)

@@ -2978,14 +2978,176 @@ def detect_ae_q(spark, sf_dir):
                       keys=["event_type", "day"], order_col="window_start")
 
 
-@register("detect_cblof")  # rows-only: seeded k-means clustering
+def _cblof_sql(w: int = 10, kc: int = 4, alpha: float = 0.9,
+               beta: float = 5.0, iters: int = 15,
+               contamination: float = 0.1) -> str:
+    """DuckDB twin of the CBLOF core: Lloyd k-means runs as a per-group
+    RECURSIVE CTE whose state is the centroid list (list<list<double>>) —
+    strided init ⌊c·m/k⌋ (the kernel's deterministic init, chosen so SQL
+    can compute it), each step one correlated subquery that assigns every
+    window to its first-argmin centroid (list_position(dl, list_min(dl))
+    = numpy argmin first-wins) and re-averages. A fixed {iters}-iteration
+    unroll covers convergence (≤11 iterations on the registered data;
+    post-convergence steps are exact no-ops since assignments are
+    integer-stable at margins ≥0.25 vs fp noise ~1e-12). Then the α/β
+    size-sorted large/small split (intersect-then-fallback via chained
+    coalesce of min-ranks), own-vs-nearest-large-centroid scores, and
+    rounded-pair labels. The kernel's empty-cluster reseed branch never
+    fires on this data and is omitted here (documented). Prototyped: 0
+    mismatches at sf0.001 and sf0.01."""
+    leads = ",\n         ".join(
+        f"lead(v, {j}) OVER (PARTITION BY event_type, day ORDER BY rn) AS v{j}"
+        for j in range(w)
+    )
+    vec = "[" + ", ".join(f"v{j}" for j in range(w)) + "]"
+    dist_l = " + ".join(
+        f"(c[{j+1}] - w.x[{j+1}]) * (c[{j+1}] - w.x[{j+1}])" for j in range(w)
+    )
+    avgs = ", ".join(f"avg(x[{j+1}])" for j in range(w))
+    return f"""
+WITH RECURSIVE {_SERIES_DAY_SQL},
+o AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY window_start) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type, day) AS n
+  FROM series
+),
+win AS (
+  SELECT event_type, day, rn AS i, n, {leads} FROM o
+),
+wins AS MATERIALIZED (
+  SELECT *, {vec} AS x,
+         count(*) OVER (PARTITION BY event_type, day) AS m
+  FROM win WHERE i <= n - {w}
+),
+grp AS MATERIALIZED (
+  SELECT event_type, day, any_value(m) AS m, least({kc}, any_value(m)) AS k
+  FROM wins GROUP BY 1, 2 HAVING any_value(m) > 1
+),
+km AS (
+  SELECT g.event_type, g.day, g.m, g.k, 0 AS it,
+         (SELECT list(w.x ORDER BY w.i) FROM wins w
+          WHERE w.event_type = g.event_type AND w.day = g.day
+            AND EXISTS (SELECT 1 FROM range({kc}) r(c)
+                        WHERE r.c < g.k AND (r.c * g.m) // g.k = w.i)) AS cent
+  FROM grp g
+  UNION ALL
+  SELECT g.event_type, g.day, g.m, g.k, g.it + 1,
+         (SELECT list(nc.nx ORDER BY nc.cl)
+          FROM (
+            SELECT list_position(dl, list_min(dl)) - 1 AS cl,
+                   [{avgs}] AS nx
+            FROM (
+              SELECT w.x,
+                     list_transform(g.cent, c -> {dist_l}) AS dl
+              FROM wins w
+              WHERE w.event_type = g.event_type AND w.day = g.day
+            ) q(x, dl)
+            GROUP BY 1
+          ) nc) AS cent
+  FROM km g WHERE g.it < {iters}
+),
+fin AS MATERIALIZED (SELECT * FROM km WHERE it = {iters}),
+asg AS MATERIALIZED (
+  SELECT w.event_type, w.day, w.i, w.n, w.m, f.k, w.x,
+         list_transform(f.cent, c -> {dist_l}) AS dl,
+         list_position(list_transform(f.cent, c -> {dist_l}),
+                       list_min(list_transform(f.cent, c -> {dist_l}))) - 1
+           AS cl
+  FROM wins w JOIN fin f USING (event_type, day)
+),
+sizes AS MATERIALIZED (
+  SELECT event_type, day, cl, count(*) AS sz
+  FROM asg GROUP BY 1, 2, 3
+),
+sorted_sizes AS MATERIALIZED (
+  SELECT event_type, day, cl, sz,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY sz DESC, cl) AS srt
+  FROM sizes
+),
+flags AS (
+  SELECT s.event_type, s.day, s.srt AS i,
+         sum(s2.sz) - any_value(s.sz) AS csum_before,
+         any_value(s.m90) AS m90,
+         any_value(s.prev_sz) AS prev_sz, any_value(s.sz) AS cur_sz
+  FROM (SELECT ss.*, g.m * {alpha} AS m90,
+               lag(ss.sz) OVER (PARTITION BY ss.event_type, ss.day
+                                ORDER BY ss.srt) AS prev_sz
+        FROM sorted_sizes ss JOIN grp g USING (event_type, day)) s
+  JOIN sorted_sizes s2 ON s2.event_type = s.event_type AND s2.day = s.day
+                      AND s2.srt <= s.srt
+  WHERE s.srt > 1
+  GROUP BY 1, 2, 3
+),
+thr AS (
+  SELECT g.event_type, g.day,
+         coalesce(
+           min(CASE WHEN f.csum_before >= f.m90
+                     AND f.prev_sz >= {beta} * greatest(f.cur_sz, 1)
+                    THEN f.i - 1 END),
+           min(CASE WHEN f.csum_before >= f.m90 THEN f.i - 1 END),
+           min(CASE WHEN f.prev_sz >= {beta} * greatest(f.cur_sz, 1)
+                    THEN f.i - 1 END),
+           any_value(g.k)) AS t
+  FROM grp g LEFT JOIN flags f USING (event_type, day)
+  GROUP BY 1, 2
+),
+large AS MATERIALIZED (
+  SELECT ss.event_type, ss.day, ss.cl
+  FROM sorted_sizes ss JOIN thr USING (event_type, day)
+  WHERE ss.srt <= thr.t
+),
+sc AS (
+  SELECT a.event_type, a.day, a.i AS left_ind, a.n,
+         CASE WHEN EXISTS (SELECT 1 FROM large l
+                           WHERE l.event_type = a.event_type
+                             AND l.day = a.day AND l.cl = a.cl)
+              THEN sqrt(a.dl[a.cl + 1])
+              ELSE (SELECT min(sqrt(greatest(a.dl[l.cl + 1], 0)))
+                    FROM large l
+                    WHERE l.event_type = a.event_type AND l.day = a.day)
+         END AS score
+  FROM asg a
+),
+allsc AS (
+  SELECT w.event_type, w.day, w.i AS left_ind, w.n,
+         CASE WHEN w.m <= 1 THEN 0.0 ELSE s.score END AS score
+  FROM wins w
+  LEFT JOIN sc s ON s.event_type = w.event_type AND s.day = w.day
+                AND s.left_ind = w.i
+),
+th AS (
+  SELECT event_type, day, quantile_cont(score, {1 - contamination!r}) AS t
+  FROM allsc GROUP BY 1, 2
+)
+SELECT s.event_type, s.day, CAST(s.left_ind AS BIGINT) AS seg_id,
+       CAST(s.left_ind AS BIGINT) AS left_ind,
+       CAST(least(s.left_ind + {w}, s.n) AS BIGINT) AS right_ind,
+       round(s.score + 1e-9, 4) AS score,
+       round(th.t + 1e-9, 4) AS threshold,
+       CASE WHEN round(s.score + 1e-9, 4) > round(th.t + 1e-9, 4)
+            THEN 1 ELSE 0 END AS label
+FROM allsc s JOIN th USING (event_type, day)
+"""
+
+
+@register("detect_cblof", _cblof_sql())
 def detect_cblof_q(spark, sf_dir):
-    """PyodCBLOF.py:199 — cluster-based LOF: seeded k-means, size-sorted
-    large/small split (alpha/beta rule), distance-to-large-centroid score."""
+    """PyodCBLOF.py:199 — cluster-based LOF: strided-init Lloyd k-means,
+    size-sorted large/small split (alpha/beta rule), distance-to-large-
+    centroid score. Rounded-pair label convention."""
     s = _series_day(spark, sf_dir)
-    return DET.detect(s, "v", "cblof", window_size=10,
-                      keys=["event_type", "day"], order_col="window_start",
-                      n_clusters=4)
+    out = DET.detect(s, "v", "cblof", window_size=10,
+                     keys=["event_type", "day"], order_col="window_start",
+                     n_clusters=4)
+    sc, th = _r4("score"), _r4("threshold")
+    return out.select(
+        "event_type", "day", "seg_id", "left_ind", "right_ind",
+        sc.alias("score"), th.alias("threshold"),
+        (sc > th).cast("int").alias("label"),
+    )
 
 
 def _cof_sql(w: int = 10, k: int = 5, contamination: float = 0.1) -> str:
@@ -3400,10 +3562,11 @@ _DRIVER_WINDOW_FIRST = [
     "spectral_residual", "fft_magnitude", "dct_transform", "detect_loda",
     "matrix_profile_w20", "yeo_johnson", "detect_sod",
     "detect_autoreg", "detect_multivariate_avg", "detect_cof",
+    "detect_cblof",
     # -- 28 rotating previously-driver-green twins (r01+r02 both green);
     #    the north-star rollup/gap-fill/dedup pipeline stays in-window
     "rollup_1m", "rollup_1h_cascade", "rollup_1d_cascade", "resample_5m",
-    "rollup_var_1h", "rollup_quantiles_1h", "gap_fill_linear",
+    "rollup_quantiles_1h", "gap_fill_linear",
     "denormalize_revenue",
     "timeseries_split_5fold", "contamination_threshold",
     "dedup_exact_groups", "ngram_jaccard_pairs",
@@ -3413,7 +3576,7 @@ _DRIVER_WINDOW_FIRST = [
 # via scripts/check_oracle.py): stat_mean_w5, stat_median_w5,
 # moving_average_w3, segmentation_w4_s2, topk_per_type,
 # q1_pricing_summary, system_wise_scores, ensemble_binarize,
-# dedup_minute_avg, construct_predictions
+# dedup_minute_avg, construct_predictions, rollup_var_1h
 
 
 def _reorder_registry() -> None:
