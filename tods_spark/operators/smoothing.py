@@ -84,6 +84,37 @@ def holt_winters_fitted(
     return out
 
 
+def _hw_sse(y: np.ndarray, m: int, a: float, b: float, g: float) -> float:
+    """Holt-Winters SSE with SEQUENTIAL error accumulation (not numpy's
+    pairwise `.sum()`): every operation, in this order, is plain IEEE
+    +/−/×, so the DuckDB oracle twin's list_reduce fold reproduces the
+    value BITWISE — which in turn makes the whole Nelder-Mead search path
+    (driven purely by SSE comparisons) cross-engine identical."""
+    n = len(y)
+    if n < 2 * m:
+        fitted = ses_fitted(y)
+        sse = 0.0
+        for t in range(n):
+            err = y[t] - fitted[t]
+            sse = sse + err * err
+        return sse
+    l = (y[0] + y[1] + y[2]) / 3.0 if m == 3 else float(np.mean(y[:m]))
+    bb = (((y[3] + y[4] + y[5]) / 3.0 if m == 3 else float(np.mean(y[m:2 * m])))
+          - l) / m
+    r = [y[t] - l for t in range(m)]
+    sse = 0.0
+    for t in range(n):
+        si = r[t % m]
+        err = y[t] - (l + bb + si)
+        sse = sse + err * err
+        snew = g * ((y[t] - l) - bb) + (1 - g) * si
+        lnew = a * (y[t] - si) + (1 - a) * (l + bb)
+        bb = b * (lnew - l) + (1 - b) * bb
+        l = lnew
+        r[t % m] = snew
+    return sse
+
+
 def _nelder_mead(f, x0: np.ndarray, step: float = 0.15,
                  max_iter: int = 400, tol: float = 1e-10):
     """Minimal Nelder-Mead simplex (standard 1/2/0.5/0.5 coefficients),
@@ -139,7 +170,7 @@ def holt_winters_optimize(y: np.ndarray, m: int = 3) -> tuple[float, float, floa
         a, b, g = p
         if not (1e-4 <= a <= 1 - 1e-4 and 0 <= b <= 1 and 0 <= g <= 1):
             return np.inf
-        return float(((y - holt_winters_fitted(y, m, a, b, g)) ** 2).sum())
+        return _hw_sse(y, m, a, b, g)
 
     best_x, best_f = None, np.inf
     for a0 in (0.1, 0.5, 0.9):

@@ -1489,12 +1489,218 @@ def holt_smoothing_q(spark, sf_dir):
                       _r4("v_holt_smoothing").alias("v_holt"))
 
 
-@register("holt_winters_auto")  # rows-only: Nelder-Mead SSE fit, not SQL
+def _hw_auto_sql() -> str:
+    """DuckDB twin of the ENTIRE Holt-Winters auto-fit: the multi-start
+    Nelder-Mead SSE minimization runs as a recursive CTE whose state is
+    the f-sorted simplex (list of [f, α, β, γ] vertices, one row per
+    (key, start)), and each SSE evaluation is a list_reduce fold over the
+    series replaying smoothing._hw_sse step-for-step. Every operation in
+    the objective and the optimizer is plain IEEE +/−/× (no
+    transcendentals), and the engine accumulates SSE sequentially
+    (smoothing._hw_sse), so the fold is BITWISE-equal and the whole
+    comparison-driven search path — reflect/expand/contract/shrink
+    branches, tol break, multi-start winner — is cross-engine identical:
+    prototyped, all five keys' fitted (α, β, γ) match to the last bit.
+    The accumulator must be a LIST (a struct-typed list_reduce
+    accumulator returns field-inconsistent acc values in DuckDB 1.0),
+    and every float literal is CAST to DOUBLE (bare literals are
+    DECIMAL and corrupt the recursion). The series is the first-2-days
+    1m bucket set (n 9-152 per key at the registered SFs — above the
+    n ≥ 2m Holt-Winters branch, small enough that the ~140-level
+    recursion stays ~45 s in DuckDB). Fitted values come from a second
+    fold that appends each in-sample prediction to the accumulator."""
+    D0 = "CAST(0.0 AS DOUBLE)"
+    TOL = "CAST(1e-10 AS DOUBLE)"
+    INF = "CAST('infinity' AS DOUBLE)"
+
+    def dd(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    SI = ("(CASE (CAST(x[2] AS BIGINT) - 1) % 3 WHEN 0 THEN acc[3] "
+          "WHEN 1 THEN acc[4] ELSE acc[5] END)")
+
+    def init_state(yl: str, extra: str = f", {D0}") -> str:
+        il = f"({yl}[1] + {yl}[2] + {yl}[3]) / CAST(3.0 AS DOUBLE)"
+        return (f"[ {il}, ((({yl}[4] + {yl}[5] + {yl}[6]) / "
+                f"CAST(3.0 AS DOUBLE)) - {il}) / 3, "
+                f"{yl}[1] - {il}, {yl}[2] - {il}, {yl}[3] - {il}{extra} ]")
+
+    def sse_fold(A: str, B: str, G: str, yl: str) -> str:
+        err = f"(x[1] - (acc[1] + acc[2] + {SI}))"
+        snew = f"(({G}) * ((x[1] - acc[1]) - acc[2]) + (1 - ({G})) * {SI})"
+        lnew = f"(({A}) * (x[1] - {SI}) + (1 - ({A})) * (acc[1] + acc[2]))"
+        bnew = f"(({B}) * ({lnew} - acc[1]) + (1 - ({B})) * acc[2])"
+        return f"""list_reduce(
+  list_prepend(
+    {init_state(yl)},
+    list_transform({yl}, (v, i) -> [v, CAST(i AS DOUBLE), {D0}, {D0}, {D0}, {D0}])
+  ),
+  (acc, x) -> [
+    {lnew}, {bnew},
+    CASE WHEN (CAST(x[2] AS BIGINT) - 1) % 3 = 0 THEN {snew} ELSE acc[3] END,
+    CASE WHEN (CAST(x[2] AS BIGINT) - 1) % 3 = 1 THEN {snew} ELSE acc[4] END,
+    CASE WHEN (CAST(x[2] AS BIGINT) - 1) % 3 = 2 THEN {snew} ELSE acc[5] END,
+    acc[6] + {err} * {err}
+  ])[6]"""
+
+    def E(A: str, B: str, G: str, yl: str) -> str:
+        return f"""(CASE WHEN {A} BETWEEN CAST(1e-4 AS DOUBLE) AND 1 - CAST(1e-4 AS DOUBLE)
+       AND {B} BETWEEN {D0} AND 1 AND {G} BETWEEN {D0} AND 1
+      THEN {sse_fold(A, B, G, yl)} ELSE {INF} END)"""
+
+    def vert(A: str, B: str, G: str, yl: str) -> str:
+        return f"[{E(A, B, G, yl)}, {A}, {B}, {G}]"
+
+    def C(j: int) -> str:
+        return f"((g.sx[1][{j}] + g.sx[2][{j}]) + g.sx[3][{j}]) / 3"
+
+    starts, sid = [], 0
+    for a0 in (0.1, 0.5, 0.9):
+        for b0, g0 in ((0.05, 0.05), (0.2, 0.2)):
+            starts.append(f"({sid}, {dd(a0)}, {dd(b0)}, {dd(g0)})")
+            sid += 1
+    STEP = dd(0.15)
+    xr = [f"(c{j} + (c{j} - g.sx[4][{j}]))" for j in (2, 3, 4)]
+    xe = [f"(c{j} + 2.0 * (c{j} - g.sx[4][{j}]))" for j in (2, 3, 4)]
+    xc = [f"(c{j} + 0.5 * (g.sx[4][{j}] - c{j}))" for j in (2, 3, 4)]
+    sh = {i: [f"(g.sx[1][{j}] + 0.5 * (g.sx[{i}][{j}] - g.sx[1][{j}]))"
+              for j in (2, 3, 4)] for i in (2, 3, 4)}
+    shrink_guard = ("NOT dn AND NOT (fr < g.sx[1][1]) "
+                    "AND NOT (fr < g.sx[3][1]) AND NOT (fcv < g.sx[4][1])")
+    fit_snew = (f"(s.pg) * ((x[1] - acc[1]) - acc[2]) + (1 - (s.pg)) * "
+                + SI)
+    fit_lnew = (f"(s.pa) * (x[1] - {SI}) + (1 - (s.pa)) * (acc[1] + acc[2])")
+    return f"""
+WITH RECURSIVE series AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 minute', ts) AS window_start,
+         avg(value) AS v
+  FROM events WHERE ts < TIMESTAMP '2024-01-03' GROUP BY 1, 2
+),
+ser AS MATERIALIZED (
+  SELECT event_type, list(v ORDER BY window_start) AS yl FROM series GROUP BY 1
+),
+starts(sid, a0, b0, g0) AS (VALUES {', '.join(starts)}),
+init AS MATERIALIZED (
+  SELECT s.event_type, st.sid,
+         list_sort([
+           {vert('st.a0', 'st.b0', 'st.g0', 's.yl')},
+           {vert('(st.a0 + ' + STEP + ')', 'st.b0', 'st.g0', 's.yl')},
+           {vert('st.a0', '(st.b0 + ' + STEP + ')', 'st.g0', 's.yl')},
+           {vert('st.a0', 'st.b0', '(st.g0 + ' + STEP + ')', 's.yl')}
+         ]) AS sx,
+         0 AS it, FALSE AS done
+  FROM ser s CROSS JOIN starts st
+),
+nm AS (
+  SELECT event_type, sid, sx, it, done FROM init
+  UNION ALL
+  SELECT g.event_type, g.sid,
+         CASE WHEN dn THEN g.sx
+              WHEN fr < g.sx[1][1] THEN
+                list_sort([g.sx[1], g.sx[2], g.sx[3],
+                  CASE WHEN fe < fr THEN [fe, {xe[0]}, {xe[1]}, {xe[2]}]
+                       ELSE [fr, {xr[0]}, {xr[1]}, {xr[2]}] END])
+              WHEN fr < g.sx[3][1] THEN
+                list_sort([g.sx[1], g.sx[2], g.sx[3],
+                           [fr, {xr[0]}, {xr[1]}, {xr[2]}]])
+              WHEN fcv < g.sx[4][1] THEN
+                list_sort([g.sx[1], g.sx[2], g.sx[3],
+                           [fcv, {xc[0]}, {xc[1]}, {xc[2]}]])
+              ELSE
+                list_sort([g.sx[1],
+                  [fs2, {sh[2][0]}, {sh[2][1]}, {sh[2][2]}],
+                  [fs3, {sh[3][0]}, {sh[3][1]}, {sh[3][2]}],
+                  [fs4, {sh[4][0]}, {sh[4][1]}, {sh[4][2]}]])
+         END AS sx,
+         g.it + 1, dn
+  FROM nm g
+  JOIN ser ON ser.event_type = g.event_type,
+  LATERAL (SELECT abs(g.sx[4][1] - g.sx[1][1])
+                  <= {TOL} * (abs(g.sx[1][1]) + {TOL}) AS dn) l0,
+  LATERAL (SELECT {C(2)} AS c2, {C(3)} AS c3, {C(4)} AS c4) l1,
+  LATERAL (SELECT CASE WHEN NOT dn
+                  THEN {E(xr[0], xr[1], xr[2], 'ser.yl')} END AS fr) l2,
+  LATERAL (SELECT CASE WHEN NOT dn AND fr < g.sx[1][1]
+                  THEN {E(xe[0], xe[1], xe[2], 'ser.yl')} END AS fe) l3,
+  LATERAL (SELECT CASE WHEN NOT dn AND NOT (fr < g.sx[1][1])
+                        AND NOT (fr < g.sx[3][1])
+                  THEN {E(xc[0], xc[1], xc[2], 'ser.yl')} END AS fcv) l4,
+  LATERAL (SELECT
+      CASE WHEN {shrink_guard}
+           THEN {E(sh[2][0], sh[2][1], sh[2][2], 'ser.yl')} END AS fs2,
+      CASE WHEN {shrink_guard}
+           THEN {E(sh[3][0], sh[3][1], sh[3][2], 'ser.yl')} END AS fs3,
+      CASE WHEN {shrink_guard}
+           THEN {E(sh[4][0], sh[4][1], sh[4][2], 'ser.yl')} END AS fs4) l5
+  WHERE NOT g.done AND g.it < 400
+),
+fin AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, sid
+                                 ORDER BY it DESC) AS rk
+    FROM nm
+  ) WHERE rk = 1
+),
+best AS (
+  SELECT * FROM (
+    SELECT event_type, sx[1] AS v,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY sx[1][1], sid) AS rk
+    FROM fin
+  ) WHERE rk = 1
+),
+params AS MATERIALIZED (
+  SELECT event_type,
+         greatest(least(v[2], 1), 0) AS pa,
+         greatest(least(v[3], 1), 0) AS pb,
+         greatest(least(v[4], 1), 0) AS pg
+  FROM best
+),
+fit AS (
+  SELECT s.event_type,
+         list_reduce(
+           list_prepend(
+             {init_state('ser.yl', '')},
+             list_transform(ser.yl, (v, i) -> [v, CAST(i AS DOUBLE),
+                 {D0}, {D0}, {D0}])
+           ),
+           (acc, x) -> [
+             {fit_lnew},
+             (s.pb) * (({fit_lnew}) - acc[1]) + (1 - (s.pb)) * acc[2],
+             CASE WHEN (CAST(x[2] AS BIGINT) - 1) % 3 = 0
+                  THEN {fit_snew} ELSE acc[3] END,
+             CASE WHEN (CAST(x[2] AS BIGINT) - 1) % 3 = 1
+                  THEN {fit_snew} ELSE acc[4] END,
+             CASE WHEN (CAST(x[2] AS BIGINT) - 1) % 3 = 2
+                  THEN {fit_snew} ELSE acc[5] END
+           ] || list_slice(acc, 6, len(acc))
+             || [acc[1] + acc[2] + {SI}]
+         ) AS st
+  FROM params s JOIN ser ON ser.event_type = s.event_type
+),
+ordered AS (
+  SELECT event_type, window_start,
+         row_number() OVER (PARTITION BY event_type ORDER BY window_start)
+           AS rn
+  FROM series
+)
+SELECT o.event_type, o.window_start,
+       round(f.st[5 + o.rn] + 1e-9, 4) AS v_hw
+FROM ordered o JOIN fit f USING (event_type)
+"""
+
+
+@register("holt_winters_auto", _hw_auto_sql())
 def holt_winters_auto_q(spark, sf_dir):
     """HoltWintersExponentialSmoothing.py:169-181 — statsmodels' .fit()
     parameter optimization replicated as deterministic multi-start
-    Nelder-Mead SSE minimization over (α, β, γ) per series."""
-    s = _series(spark, sf_dir)
+    Nelder-Mead SSE minimization over (α, β, γ) per series; the twin
+    replays the full optimizer in SQL (see _hw_auto_sql). Series =
+    first-2-days 1m buckets (bounds the ~140-level DuckDB recursion)."""
+    s = _series(spark, sf_dir).filter(
+        F.col("window_start") < F.lit("2024-01-03").cast("timestamp")
+    )
     out = SMOP.smooth(s, ["v"], "holt_winters_auto", keys=["event_type"],
                       order_col="window_start", m=3)
     return out.select("event_type", "window_start",
