@@ -324,3 +324,45 @@ def test_sod_detect_spark(spark):
                      contamination=0.02).toPandas()
     flagged = out[out.label == 1]
     assert ((flagged.left_ind <= 200) & (flagged.right_ind >= 200)).any()
+
+
+def test_ocsvm_dual_kkt_and_planted_outlier():
+    """Projected-gradient OCSVM: the solution satisfies the dual
+    constraints (box + simplex), margin SVs sit near the decision
+    boundary (KKT), and the planted far point scores highest."""
+    rng = np.random.default_rng(13)
+    X = np.concatenate([rng.normal(0, 1, 120), [14.0], rng.normal(0, 1, 30)])
+    scores, lefts = DET.ocsvm_scores(X, window_size=1, nu=0.5)
+    assert scores[120] == scores.max()
+
+    # re-derive the dual internals to check KKT on the same problem
+    mat = X.reshape(-1, 1)
+    m = len(mat)
+    var = mat.var(); gamma = 1.0 / (1 * var)
+    d2 = (mat - mat.T) ** 2
+    Q = np.exp(-gamma * d2)
+    cap = 1.0 / (0.5 * m)
+    alpha = np.full(m, 1.0 / m)
+    L = float(np.abs(Q).sum(axis=1).max())
+    for _ in range(300):
+        alpha = DET._project_capped_simplex(alpha - (1.0 / L) * (Q @ alpha), cap)
+    assert abs(alpha.sum() - 1.0) < 1e-9
+    assert alpha.min() >= -1e-12 and alpha.max() <= cap + 1e-12
+    f = Q @ alpha
+    margin = (alpha > 1e-10) & (alpha < cap - 1e-10)
+    if margin.any():
+        # margin SVs share (approximately) the same decision value rho
+        assert f[margin].std() < 1e-2 * max(abs(f[margin].mean()), 1e-12) + 1e-4
+
+
+def test_ocsvm_deterministic_and_spark(spark):
+    x = _series_with_spike()
+    s1, _ = DET.ocsvm_scores(x, window_size=12)
+    s2, _ = DET.ocsvm_scores(x, window_size=12)
+    np.testing.assert_array_equal(s1, s2)
+    pdf = pd.DataFrame({"timestamp": range(len(x)), "value": x})
+    sdf = spark.createDataFrame(pdf)
+    out = DET.detect(sdf, "value", "ocsvm", window_size=12,
+                     contamination=0.02).toPandas()
+    flagged = out[out.label == 1]
+    assert ((flagged.left_ind <= 200) & (flagged.right_ind >= 200)).any()

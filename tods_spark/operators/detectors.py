@@ -388,6 +388,67 @@ def ae_scores(x: np.ndarray, window_size: int, step: int = 1,
     return np.sqrt((resid**2).sum(axis=1)), lefts
 
 
+def _project_capped_simplex(v: np.ndarray, cap: float) -> np.ndarray:
+    """Euclidean projection of v onto {0 <= a <= cap, sum(a) = 1} via
+    bisection on the shift τ in a_i = clip(v_i − τ, 0, cap) —
+    deterministic, no RNG."""
+    lo = v.min() - cap - 1.0
+    hi = v.max() + 1.0
+    for _ in range(100):
+        tau = 0.5 * (lo + hi)
+        s = np.clip(v - tau, 0.0, cap).sum()
+        if s > 1.0:
+            lo = tau
+        else:
+            hi = tau
+    return np.clip(v - 0.5 * (lo + hi), 0.0, cap)
+
+
+def ocsvm_scores(x: np.ndarray, window_size: int, step: int = 1,
+                 nu: float = 0.5, n_iter: int = 300) -> tuple:
+    """One-class SVM core (PyodOCSVM.py:197 → pyod.models.ocsvm →
+    sklearn OneClassSVM, RBF kernel, Schölkopf et al. 2001): solve the
+    dual  min ½ αᵀQα  s.t. 0 ≤ α ≤ 1/(νm), Σα = 1  with deterministic
+    PROJECTED GRADIENT descent (libsvm's SMO working-set heuristics are
+    not reproduced — documented deviation; at convergence both reach the
+    same unique strictly-convex optimum for PD kernels):
+
+      Q_ij    = exp(−γ·‖x_i − x_j‖²),  γ = 1/(w·Var(X)) (sklearn 'scale')
+      step    = 1/L with L = the Gershgorin row-sum bound on λmax(Q)
+      ρ       = mean_{0<α_i<cap} (Qα)_i   (margin support vectors)
+      score_i = ρ − (Qα)_i               (pyod convention: −decision)
+
+    O(m²) kernel matrix — quadratic kernel, bounded-group contract
+    applies."""
+    mat, lefts = _windows(x, window_size, step)
+    m = len(mat)
+    if m <= 2:
+        return np.zeros(m), lefts
+    var = mat.var()
+    gamma = 1.0 / (mat.shape[1] * var) if var > 0 else 1.0
+    sq = (mat**2).sum(1)
+    d2 = np.maximum(sq[:, None] + sq[None, :] - 2 * (mat @ mat.T), 0)
+    Q = np.exp(-gamma * d2)
+    cap = 1.0 / (nu * m)
+    if cap * m < 1.0:  # infeasible ν (can't happen for ν ≤ 1)
+        cap = 1.0 / m
+    alpha = np.full(m, 1.0 / m)
+    alpha = _project_capped_simplex(alpha, cap)
+    L = float(np.abs(Q).sum(axis=1).max())  # Gershgorin bound on λmax
+    lr = 1.0 / L
+    for _ in range(n_iter):
+        grad = Q @ alpha
+        alpha = _project_capped_simplex(alpha - lr * grad, cap)
+    f = Q @ alpha
+    margin = (alpha > 1e-10) & (alpha < cap - 1e-10)
+    rho = float(f[margin].mean()) if margin.any() else float(f.mean())
+    return rho - f, lefts
+
+
+_CORES["ocsvm"] = ocsvm_scores
+_QUADRATIC.add("ocsvm")
+
+
 def _kmeans(X: np.ndarray, k: int, seed: int = 0, iters: int = 50):
     """Lloyd k-means with STRIDED deterministic init (centers = points at
     indices ⌊c·m/k⌋) — the engine contract; sklearn's n_init=10 k-means++

@@ -3583,6 +3583,17 @@ FROM allsc s JOIN th USING (event_type, day)
 """
 
 
+@register("detect_ocsvm")  # rows-only: iterative projected-gradient QP
+def detect_ocsvm_q(spark, sf_dir):
+    """PyodOCSVM.py:197 — one-class SVM (RBF dual) solved by
+    deterministic projected-gradient descent; 300 iterations of Qα with
+    a nested capped-simplex projection bisection per step has no
+    tractable SQL expression. O(m²) kernel, bounded (event_type, day)."""
+    s = _series_day(spark, sf_dir)
+    return DET.detect(s, "v", "ocsvm", window_size=10,
+                      keys=["event_type", "day"], order_col="window_start")
+
+
 @register("detect_sod", _sod_sql())
 def detect_sod_q(spark, sf_dir):
     """PyodSOD.py:125 — subspace outlier detection: shared-nearest-
