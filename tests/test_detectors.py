@@ -366,3 +366,23 @@ def test_ocsvm_deterministic_and_spark(spark):
                      contamination=0.02).toPandas()
     flagged = out[out.label == 1]
     assert ((flagged.left_ind <= 200) & (flagged.right_ind >= 200)).any()
+
+
+def test_capped_simplex_projection_is_optimal():
+    """Variational inequality check: p = proj(v) satisfies
+    (v - p)·(q - p) <= 0 for every feasible q — with random feasible
+    points this certifies p is the Euclidean projection."""
+    rng = np.random.default_rng(21)
+    for _ in range(20):
+        m = rng.integers(3, 40)
+        cap = float(rng.uniform(1.5 / m, 3.0 / m))
+        v = rng.normal(0, 1, m)
+        p = DET._project_capped_simplex(v, cap)
+        assert abs(p.sum() - 1.0) < 1e-9
+        assert p.min() >= -1e-12 and p.max() <= cap + 1e-12
+        for _ in range(30):
+            q = rng.uniform(0, cap, m)
+            q = q / q.sum()
+            if q.max() > cap:  # renormalization may exceed the cap
+                continue
+            assert float((v - p) @ (q - p)) <= 1e-8
