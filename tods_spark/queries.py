@@ -3887,14 +3887,16 @@ _DRIVER_WINDOW_FIRST = [
     "stat_matd_w5", "stat_skew_w5", "stat_kurtosis_w5", "stat_mad_w5",
     "detect_hbos", "system_wise_voting", "evaluate_metrics",
     "bk_filter_cycle",
-    # -- twins NEW this round
+    # -- twins NEW in round 3 (17; holt_winters_auto also gained a twin
+    #    but stays past position 50: its full-Nelder-Mead oracle runs
+    #    ~45 s in DuckDB — judge-verified tier instead)
     "detect_lof", "media_features", "detect_abod",
     "gorilla_roundtrip_1m", "salted_rollup_totals",
     "spectral_residual", "fft_magnitude", "dct_transform", "detect_loda",
     "matrix_profile_w20", "yeo_johnson", "detect_sod",
     "detect_autoreg", "detect_multivariate_avg", "detect_cof",
     "detect_cblof", "detect_pca",
-    # -- 28 rotating previously-driver-green twins (r01+r02 both green);
+    # -- 13 rotating previously-driver-green twins (r01+r02 both green);
     #    the north-star rollup/gap-fill/dedup pipeline stays in-window
     "rollup_1m", "rollup_1h_cascade", "rollup_1d_cascade", "resample_5m",
     "rollup_quantiles_1h", "gap_fill_linear",
