@@ -386,3 +386,48 @@ def test_capped_simplex_projection_is_optimal():
             if q.max() > cap:  # renormalization may exceed the cap
                 continue
             assert float((v - p) @ (q - p)) <= 1e-8
+
+
+def test_gbdt_separates_and_reduces_loss():
+    """The deterministic GBDT drives logistic loss down monotonically on
+    a separable problem and ranks the positive class on top."""
+    rng = np.random.default_rng(31)
+    X = np.vstack([rng.normal(0, 1, (80, 3)), rng.normal(4, 1, (20, 3))])
+    y = np.concatenate([np.zeros(80), np.ones(20)])
+
+    def logloss(margin):
+        p = 1.0 / (1.0 + np.exp(-margin))
+        p = np.clip(p, 1e-12, 1 - 1e-12)
+        return float(-(y * np.log(p) + (1 - y) * np.log(1 - p)).mean())
+
+    losses = []
+    margin = np.zeros(len(y))
+    for _ in range(20):
+        p = 1.0 / (1.0 + np.exp(-margin))
+        tree = DET._gbdt_tree_fit(X, p - y, p * (1 - p), 3, 1.0)
+        margin = margin + 0.3 * DET._gbdt_tree_predict(tree, X)
+        losses.append(logloss(margin))
+    assert all(b <= a + 1e-12 for a, b in zip(losses, losses[1:]))
+    full = DET.gbdt_fit_predict(X, y, n_rounds=20)
+    # every positive outranks every negative on separable data
+    assert full[y == 1].min() > full[y == 0].max()
+    np.testing.assert_array_equal(full, DET.gbdt_fit_predict(X, y, n_rounds=20))
+
+
+def test_xgbod_uses_supervision_to_beat_weak_features(spark):
+    """XGBOD with point labels pinpoints the labeled anomaly; the run
+    through detect_supervised flags the planted window."""
+    x = _series_with_spike()
+    labels = np.zeros(len(x))
+    labels[200] = 1.0
+    scores, lefts = DET.xgbod_scores(x, labels, window_size=12)
+    top = scores.argmax()
+    assert lefts[top] <= 200 <= lefts[top] + 12
+
+    pdf = pd.DataFrame({"timestamp": range(len(x)), "value": x,
+                        "lab": labels})
+    sdf = spark.createDataFrame(pdf)
+    out = DET.detect_supervised(sdf, "value", "lab", window_size=12,
+                                contamination=0.05).toPandas()
+    flagged = out[out.label == 1]
+    assert ((flagged.left_ind <= 200) & (flagged.right_ind >= 200)).any()

@@ -388,6 +388,107 @@ def ae_scores(x: np.ndarray, window_size: int, step: int = 1,
     return np.sqrt((resid**2).sum(axis=1)), lefts
 
 
+def _gbdt_tree_fit(X: np.ndarray, grad: np.ndarray, hess: np.ndarray,
+                   depth: int, lam: float, n_thresholds: int = 32):
+    """One regression tree on (grad, hess) — exact greedy xgboost-style
+    splits (gain = ½[G_L²/(H_L+λ) + G_R²/(H_R+λ) − G²/(H+λ)]), candidate
+    thresholds at up to `n_thresholds` per-feature quantiles.
+    Deterministic: no subsampling, ties resolved by (feature, threshold)
+    order. Returns a nested dict tree."""
+    m, d = X.shape
+
+    def build(idx: np.ndarray, lvl: int):
+        G, H = grad[idx].sum(), hess[idx].sum()
+        leaf = {"w": -G / (H + lam)}
+        if lvl >= depth or len(idx) < 2:
+            return leaf
+        best = (0.0, None, None)
+        for j in range(d):
+            col = X[idx, j]
+            qs = np.unique(np.quantile(col, np.linspace(0, 1, n_thresholds)))
+            for t in qs[:-1]:
+                left = col <= t
+                if not left.any() or left.all():
+                    continue
+                GL, HL = grad[idx[left]].sum(), hess[idx[left]].sum()
+                GR, HR = G - GL, H - HL
+                gain = 0.5 * (GL * GL / (HL + lam) + GR * GR / (HR + lam)
+                              - G * G / (H + lam))
+                if gain > best[0] + 1e-12:
+                    best = (gain, j, float(t))
+        if best[1] is None:
+            return leaf
+        _, j, t = best
+        left = X[idx, j] <= t
+        return {"j": j, "t": t,
+                "l": build(idx[left], lvl + 1),
+                "r": build(idx[~left], lvl + 1)}
+
+    return build(np.arange(m), 0)
+
+
+def _gbdt_tree_predict(tree: dict, X: np.ndarray) -> np.ndarray:
+    out = np.empty(len(X))
+    stack = [(tree, np.arange(len(X)))]
+    while stack:
+        node, idx = stack.pop()
+        if "w" in node:
+            out[idx] = node["w"]
+        else:
+            left = X[idx, node["j"]] <= node["t"]
+            stack.append((node["l"], idx[left]))
+            stack.append((node["r"], idx[~left]))
+    return out
+
+
+def gbdt_fit_predict(X: np.ndarray, y: np.ndarray, n_rounds: int = 50,
+                     depth: int = 3, lr: float = 0.3, lam: float = 1.0
+                     ) -> np.ndarray:
+    """Deterministic gradient-boosted trees with logistic loss — the
+    re-derived stand-in for xgboost's XGBClassifier (exact greedy splits,
+    second-order gain, L2 leaf regularization; no subsampling / column
+    sampling, so the fit is reproducible bit-for-bit). Returns in-sample
+    scores (log-odds margin)."""
+    margin = np.zeros(len(y))
+    for _ in range(n_rounds):
+        p = 1.0 / (1.0 + np.exp(-margin))
+        grad = p - y
+        hess = p * (1 - p)
+        tree = _gbdt_tree_fit(X, grad, hess, depth, lam)
+        margin = margin + lr * _gbdt_tree_predict(tree, X)
+    return margin
+
+
+def xgbod_scores(x: np.ndarray, labels: np.ndarray, window_size: int,
+                 step: int = 1, n_rounds: int = 50) -> tuple:
+    """XGBOD core (PyodXGBOD.py:323 — Zhao & Hryniewicki 2018, "XGBOD:
+    improving supervised outlier detection with unsupervised
+    representation learning"): augment the raw windows with transformed
+    outlier scores (TOS) from unsupervised base detectors, then fit a
+    supervised boosted-tree classifier on the labels; score = the
+    classifier margin. Base detectors here: knn (k-th NN distance), hbos
+    via loda single-bin analogue — we use knn + loda + autoreg residual
+    scores, the quadratic-free trio of this module. xgboost's exact
+    implementation is replaced by the deterministic `gbdt_fit_predict`
+    (documented deviation — same loss, same split gain, no stochastic
+    subsampling). A window's label = max of its member labels."""
+    mat, lefts = _windows(x, window_size, step)
+    m = len(mat)
+    if m <= 2:
+        return np.zeros(m), lefts
+    # per-window supervision: anomalous if any member point is labeled
+    wl = np.array([labels[i : i + window_size].max() for i in lefts],
+                  dtype=float)
+    # TOS features from unsupervised cores (align autoreg's shorter output)
+    knn_s, _ = knn_scores(x, window_size, step)
+    loda_s, _ = loda_scores(x, window_size, step)
+    ar_s, ar_lefts = autoreg_scores(x, window_size, step)
+    ar_full = np.zeros(m)
+    ar_full[np.searchsorted(lefts, ar_lefts)] = ar_s
+    F = np.column_stack([mat, knn_s, loda_s, ar_full])
+    return gbdt_fit_predict(F, wl, n_rounds=n_rounds), lefts
+
+
 def _project_capped_simplex(v: np.ndarray, cap: float) -> np.ndarray:
     """Euclidean projection of v onto {0 <= a <= cap, sum(a) = 1} via
     bisection on the shift τ in a_i = clip(v_i − τ, 0, cap) —
@@ -606,6 +707,63 @@ _CORES["cof"] = cof_scores
 _CORES["sod"] = sod_scores
 _QUADRATIC.add("cof")
 _QUADRATIC.add("sod")
+
+
+def detect_supervised(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    window_size: int = 10,
+    step: int = 1,
+    contamination: float = 0.1,
+    keys: list[str] | None = None,
+    order_col: str = "timestamp",
+    max_group_size: int = MAX_QUADRATIC_GROUP,
+    **params,
+) -> DataFrame:
+    """Supervised windowed detection (XGBOD frame contract): per series,
+    train `xgbod_scores` on the point-level labels and emit one row per
+    window with margin score + percentile-thresholded label — the same
+    output shape as detect(). Uses the kNN TOS feature, so the
+    bounded-group contract applies (O(m²) per group)."""
+    keys = keys or []
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group_size:
+            gk = {k: pdf[k].iloc[0] for k in keys}
+            raise ValueError(
+                f"detect_supervised: group {gk} has {len(pdf)} rows > "
+                f"max_group_size={max_group_size}; re-key by a "
+                "time-bounded key, e.g. (series, day)"
+            )
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(float)
+        y = pdf[label_col].to_numpy(float)
+        scores, lefts = xgbod_scores(x, y, window_size, step, **params)
+        if len(scores):
+            th = np.percentile(scores, 100 * (1 - contamination))
+            labels = (scores > th).astype(int)
+        else:
+            th, labels = 0.0, np.array([], int)
+        out = pd.DataFrame(
+            {
+                "seg_id": np.arange(len(scores)),
+                "left_ind": lefts,
+                "right_ind": np.minimum(lefts + window_size, len(x)),
+                "score": scores,
+                "threshold": th,
+                "label": labels,
+            }
+        )
+        for k in keys:
+            out[k] = pdf[k].iloc[0]
+        return out[[*keys, "seg_id", "left_ind", "right_ind", "score",
+                    "threshold", "label"]]
+
+    key_fields = "".join(f"`{k}` string, " for k in keys)
+    schema = (f"{key_fields}seg_id long, left_ind long, right_ind long, "
+              "score double, threshold double, label int")
+    return grouped_apply(df, keys, fn, schema)
 
 
 def detect_multivariate(

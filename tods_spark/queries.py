@@ -3697,6 +3697,32 @@ FROM allsc s JOIN th USING (event_type, day)
 """
 
 
+@register("detect_xgbod")  # rows-only: boosted-tree fit (greedy splits)
+def detect_xgbod_q(spark, sf_dir):
+    """PyodXGBOD.py:323 — supervised XGBOD: window features + TOS scores
+    from unsupervised cores feed a deterministic boosted-tree classifier
+    (detectors.gbdt_fit_predict). Supervision comes from the data itself:
+    a point is labeled anomalous when its value exceeds the global 99th
+    percentile — the weak-label regime the XGBOD paper targets. Iterative
+    greedy tree construction has no SQL expression; rows-only."""
+    ev = _events(spark, sf_dir)
+    p99 = ev.agg(
+        F.expr("percentile(value, 0.99)").alias("p")
+    ).collect()[0]["p"]  # single scalar, driver-side by design
+    s = _series_day(spark, sf_dir)
+    ev_min = (
+        ev.groupBy("event_type", F.window("ts", "1 minute").alias("w"))
+        .agg(F.max("value").alias("vmax"))
+        .select("event_type", F.col("w.start").alias("window_start"),
+                (F.col("vmax") > F.lit(float(p99))).cast("double").alias("lab"))
+    )
+    s = s.join(ev_min, ["event_type", "window_start"])
+    return DET.detect_supervised(
+        s, "v", "lab", window_size=10,
+        keys=["event_type", "day"], order_col="window_start",
+    )
+
+
 @register("detect_ocsvm")  # rows-only: iterative projected-gradient QP
 def detect_ocsvm_q(spark, sf_dir):
     """PyodOCSVM.py:197 — one-class SVM (RBF dual) solved by
