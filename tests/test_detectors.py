@@ -431,3 +431,44 @@ def test_xgbod_uses_supervision_to_beat_weak_features(spark):
                                 contamination=0.05).toPandas()
     flagged = out[out.label == 1]
     assert ((flagged.left_ind <= 200) & (flagged.right_ind >= 200)).any()
+
+
+def test_lstmod_learns_and_flags_spike():
+    """The numpy LSTM forecaster trains (loss on a predictable signal
+    drops well below the naive mean-predictor baseline) and the planted
+    spike has the largest residual."""
+    rng = np.random.default_rng(41)
+    t = np.arange(260)
+    x = np.sin(t / 6.0) * 5 + rng.normal(0, 0.2, len(t))
+    x[200] += 12.0
+    scores, lefts = DET.lstmod_scores(x, window_size=12)
+    top = scores.argmax()
+    assert lefts[top] <= 200 <= lefts[top] + 12
+    # predictability: median residual far below series std (mean predictor)
+    assert np.median(scores) < 0.5 * x.std()
+    s2, _ = DET.lstmod_scores(x, window_size=12)
+    np.testing.assert_array_equal(scores, s2)
+
+
+def test_telemanom_threshold_isolates_anomalous_errors():
+    """The dynamic threshold lands between the normal error mass and the
+    planted extreme errors (Hundman et al. selection rule)."""
+    rng = np.random.default_rng(43)
+    e = np.abs(rng.normal(0, 1, 500))
+    e[100], e[300] = 15.0, 18.0
+    th = DET.telemanom_threshold(e)
+    assert e[e >= th].size == 2  # exactly the planted anomalies
+    assert th > np.percentile(e, 99) * 0.5
+
+
+def test_lstmod_detect_spark(spark):
+    x = _series_with_spike()
+    pdf = pd.DataFrame({"timestamp": range(len(x)), "value": x})
+    sdf = spark.createDataFrame(pdf)
+    out = DET.detect(sdf, "value", "lstmod", window_size=12,
+                     contamination=0.02).toPandas()
+    flagged = out[out.label == 1]
+    assert ((flagged.left_ind <= 200) & (flagged.right_ind >= 200)).any()
+    out2 = DET.detect(sdf, "value", "lstmod", window_size=12,
+                      thresholding="telemanom").toPandas()
+    assert (out2.threshold > 0).all()

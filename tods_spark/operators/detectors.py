@@ -151,10 +151,13 @@ def detect(
     keys: list[str] | None = None,
     order_col: str = "timestamp",
     max_group_size: int | None = None,
+    thresholding: str = "percentile",
     **params,
 ) -> DataFrame:
     """Per-series windowed anomaly detection. Output: one row per window
     with score + percentile-thresholded label (CollectiveBase.py:340-345).
+    ``thresholding='telemanom'`` swaps the percentile rule for Hundman et
+    al.'s nonparametric dynamic error threshold (telemanom_threshold).
 
     For the quadratic kernels (knn/lof/abod) a group larger than
     ``max_group_size`` (default MAX_QUADRATIC_GROUP) raises instead of
@@ -178,7 +181,10 @@ def detect(
         x = pdf[value_col].to_numpy(float)
         scores, lefts = kern(x, window_size, step, **params)
         if len(scores):
-            th = np.percentile(scores, 100 * (1 - contamination))
+            if thresholding == "telemanom":
+                th = telemanom_threshold(scores)
+            else:
+                th = np.percentile(scores, 100 * (1 - contamination))
             labels = (scores > th).astype(int)
         else:
             th, labels = 0.0, np.array([], int)
@@ -201,6 +207,134 @@ def detect(
     schema = (f"{key_fields}seg_id long, left_ind long, right_ind long, "
               "score double, threshold double, label int")
     return grouped_apply(df, keys, fn, schema)
+
+
+def _lstm_forward(X: np.ndarray, Wx, Wh, b, Wo, bo):
+    """Vectorized single-layer LSTM over a batch of windows (m, w) of
+    scalars; returns predictions (m,) from the last hidden state and the
+    per-step cell/hidden states for BPTT."""
+    m, w = X.shape
+    h = Wx.shape[1] // 4
+    H = np.zeros((m, h))
+    C = np.zeros((m, h))
+    cache = []
+    for t in range(w):
+        z = X[:, t : t + 1] @ Wx + H @ Wh + b  # (m, 4h)
+        i = 1.0 / (1.0 + np.exp(-z[:, :h]))
+        f = 1.0 / (1.0 + np.exp(-z[:, h : 2 * h]))
+        o = 1.0 / (1.0 + np.exp(-z[:, 2 * h : 3 * h]))
+        g = np.tanh(z[:, 3 * h :])
+        C_new = f * C + i * g
+        H_new = o * np.tanh(C_new)
+        cache.append((H, C, i, f, o, g, C_new))
+        H, C = H_new, C_new
+    pred = (H @ Wo + bo).ravel()
+    return pred, H, cache
+
+
+def lstmod_scores(x: np.ndarray, window_size: int, step: int = 1,
+                  hidden: int = 8, epochs: int = 60, lr: float = 0.02,
+                  seed: int = 0) -> tuple:
+    """LSTMOD core re-derived in numpy (core/LSTMOD.py:17 — LSTM
+    forecaster residual scores; the reference trains a keras LSTM, this
+    engine trains a seeded single-layer LSTM with full-batch Adam and
+    truncated BPTT written out by hand — same semantics: score =
+    |next value − forecast|, which UODBase thresholds). Deterministic:
+    seeded Xavier init, full-batch updates, no dropout. Series values
+    are standardized for training; scores are on the original scale."""
+    mat, lefts = _windows(x, window_size, step)
+    usable = [i for i in range(len(lefts)) if lefts[i] + window_size < len(x)]
+    mat, lefts = mat[usable], lefts[usable]
+    m = len(mat)
+    if m <= 2:
+        return np.zeros(m), lefts
+    y = x[lefts + window_size]
+    mu, sd = x.mean(), x.std() or 1.0
+    Xn, yn = (mat - mu) / sd, (y - mu) / sd
+    rng = np.random.default_rng(seed)
+    h = hidden
+    sc_in = 1.0 / np.sqrt(1 + h)
+    Wx = rng.normal(0, sc_in, (1, 4 * h))
+    Wh = rng.normal(0, sc_in, (h, 4 * h))
+    b = np.zeros(4 * h)
+    b[h : 2 * h] = 1.0  # forget-gate bias 1 (standard init)
+    Wo = rng.normal(0, 1.0 / np.sqrt(h), (h, 1))
+    bo = np.zeros(1)
+    params = [Wx, Wh, b, Wo, bo]
+    adam_m = [np.zeros_like(p) for p in params]
+    adam_v = [np.zeros_like(p) for p in params]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    for ep in range(1, epochs + 1):
+        pred, H, cache = _lstm_forward(Xn, Wx, Wh, b, Wo, bo)
+        err = (pred - yn)[:, None] / m  # d(MSE/2)/dpred
+        gWo = H.T @ err
+        gbo = err.sum(0)
+        dH = err @ Wo.T
+        dC = np.zeros_like(dH)
+        gWx = np.zeros_like(Wx)
+        gWh = np.zeros_like(Wh)
+        gb = np.zeros_like(b)
+        for t in reversed(range(window_size)):
+            Hp, Cp, i, f, o, g, Cn = cache[t]
+            tC = np.tanh(Cn)
+            do = dH * tC
+            dCn = dC + dH * o * (1 - tC * tC)
+            di, df, dg = dCn * g, dCn * Cp, dCn * i
+            dz = np.concatenate(
+                [di * i * (1 - i), df * f * (1 - f),
+                 do * o * (1 - o), dg * (1 - g * g)], axis=1)
+            gWx += Xn[:, t : t + 1].T @ dz
+            gWh += Hp.T @ dz
+            gb += dz.sum(0)
+            dH = dz @ Wh.T
+            dC = dCn * f
+        grads = [gWx, gWh, gb, gWo, gbo]
+        for p, gr, mm, vv in zip(params, grads, adam_m, adam_v):
+            mm += (1 - b1) * (gr - mm)
+            vv += (1 - b2) * (gr * gr - vv)
+            mhat = mm / (1 - b1**ep)
+            vhat = vv / (1 - b2**ep)
+            p -= lr * mhat / (np.sqrt(vhat) + eps)
+    pred, _, _ = _lstm_forward(Xn, Wx, Wh, b, Wo, bo)
+    return np.abs(yn - pred) * sd, lefts
+
+
+_CORES["lstmod"] = lstmod_scores
+
+
+def telemanom_threshold(errors: np.ndarray,
+                        z_range: np.ndarray | None = None) -> float:
+    """Telemanom's nonparametric dynamic error threshold (Hundman et al.
+    2018, KDD — "Detecting spacecraft anomalies using LSTMs and
+    nonparametric dynamic thresholding", eq. 1-2): choose ε = μ + z·σ
+    from a candidate z grid maximizing
+        (Δμ/μ + Δσ/σ) / (|e_a| + |E_seq|²)
+    where Δμ/Δσ are the drops in mean/std after removing errors above ε,
+    e_a the anomalous errors and E_seq their contiguous runs. Pure
+    closed-form selection over a finite grid — deterministic."""
+    e = np.asarray(errors, float)
+    mu, sd = e.mean(), e.std()
+    if sd == 0:
+        return float(mu)
+    if z_range is None:
+        z_range = np.arange(2.0, 10.5, 0.5)
+    best_eps, best_score = mu + z_range[0] * sd, -np.inf
+    for z in z_range:
+        eps = mu + z * sd
+        below = e[e < eps]
+        above_idx = np.where(e >= eps)[0]
+        if len(below) == 0:
+            continue
+        dmu = (mu - below.mean()) / mu if mu != 0 else 0.0
+        dsd = (sd - below.std()) / sd
+        n_above = len(above_idx)
+        if n_above == 0:
+            continue
+        runs = 1 + int((np.diff(above_idx) > 1).sum())
+        score = (dmu + dsd) / (n_above + runs**2)
+        if score > best_score:
+            best_score, best_eps = score, eps
+    return float(best_eps)
 
 
 def _c_factor(n: int) -> float:

@@ -3697,6 +3697,30 @@ FROM allsc s JOIN th USING (event_type, day)
 """
 
 
+@register("detect_lstmod")  # rows-only: LSTM training (BPTT)
+def detect_lstmod_q(spark, sf_dir):
+    """core/LSTMOD.py:17 — LSTM forecaster residual scores. The keras
+    model is re-derived as a seeded single-layer numpy LSTM trained with
+    hand-written full-batch BPTT + Adam (deterministic); score =
+    |next value − forecast|, percentile threshold. Iterative training
+    has no SQL expression; rows-only."""
+    s = _series_day(spark, sf_dir)
+    return DET.detect(s, "v", "lstmod", window_size=10,
+                      keys=["event_type", "day"], order_col="window_start")
+
+
+@register("detect_telemanom")  # rows-only: LSTM residuals + dynamic threshold
+def detect_telemanom_q(spark, sf_dir):
+    """Telemanom.py:264 — Hundman et al. 2018: LSTM forecast residuals
+    thresholded by the nonparametric dynamic rule ε = μ + z·σ maximizing
+    (Δμ/μ + Δσ/σ)/(|e_a| + |E_seq|²) over a z grid
+    (detectors.telemanom_threshold)."""
+    s = _series_day(spark, sf_dir)
+    return DET.detect(s, "v", "lstmod", window_size=10,
+                      keys=["event_type", "day"], order_col="window_start",
+                      thresholding="telemanom")
+
+
 @register("detect_xgbod")  # rows-only: boosted-tree fit (greedy splits)
 def detect_xgbod_q(spark, sf_dir):
     """PyodXGBOD.py:323 — supervised XGBOD: window features + TOS scores
