@@ -472,3 +472,33 @@ def test_lstmod_detect_spark(spark):
     out2 = DET.detect(sdf, "value", "lstmod", window_size=12,
                       thresholding="telemanom").toPandas()
     assert (out2.threshold > 0).all()
+
+
+def test_deeplog_learns_cyclic_key_grammar():
+    """On a strictly cyclic key sequence with one corrupted step, the
+    trained next-key model assigns near-1 probability to the lawful next
+    key and the corrupted position has the top anomaly score."""
+    seq = np.tile([0, 1, 2, 3], 80).astype(int)
+    seq[201] = 0  # corrupt: lawful value at 201 is (201 % 4) = 1
+    scores, lefts = DET.deeplog_scores(seq, window_size=8)
+    top = scores.argmax()
+    assert lefts[top] + 8 == 201  # the window whose NEXT key is corrupted
+    # lawful steps are confidently predicted
+    lawful = np.delete(scores, np.where(lefts + 8 == 201))
+    assert np.median(lawful) < 0.05
+    s2, _ = DET.deeplog_scores(seq, window_size=8)
+    np.testing.assert_array_equal(scores, s2)
+
+
+def test_deeplog_detect_sequence_spark(spark):
+    seq = np.tile([0, 1, 2], 60).astype(int)
+    seq[90] = 2  # out-of-grammar
+    pdf = pd.DataFrame({"timestamp": range(len(seq)),
+                        "k": [f"key{v}" for v in seq],
+                        "grp": "g"})
+    sdf = spark.createDataFrame(pdf)
+    out = DET.detect_sequence(sdf, "k", window_size=6, keys=["grp"],
+                              order_cols=["timestamp"],
+                              contamination=0.05).toPandas()
+    flagged = out[out.label == 1]
+    assert ((flagged.left_ind + 6) == 90).any()

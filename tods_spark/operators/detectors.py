@@ -302,6 +302,110 @@ def lstmod_scores(x: np.ndarray, window_size: int, step: int = 1,
 _CORES["lstmod"] = lstmod_scores
 
 
+def deeplog_scores(keys_seq: np.ndarray, window_size: int = 10,
+                   top_k: int = 2, hidden: int = 12, epochs: int = 80,
+                   lr: float = 0.05, seed: int = 0) -> tuple:
+    """DeepLog core re-derived in numpy (DeepLog.py:196 — Du et al. 2017,
+    "DeepLog: anomaly detection and diagnosis from system logs through
+    deep learning"): an LSTM learns to predict the NEXT log key from the
+    previous `window_size` keys; a step is anomalous when the actual key
+    is not among the model's top-k predictions. The keras LSTM is
+    replaced by a seeded single-layer numpy LSTM (one-hot inputs, softmax
+    head, cross-entropy, full-batch Adam BPTT — deterministic).
+
+    Input: integer-encoded key sequence. Returns (scores, lefts) where
+    score = 1 − P(actual key) and the caller thresholds; a hard DeepLog
+    label (outside top-k) is recoverable as score > k-th largest
+    probability — the registered query uses the probability score with
+    the standard percentile rule for frame consistency."""
+    ks = np.asarray(keys_seq, int)
+    n = len(ks)
+    V = int(ks.max()) + 1 if n else 1
+    lefts = np.arange(0, n - window_size, 1)
+    m = len(lefts)
+    if m <= 2 or V < 2:
+        return np.zeros(max(m, 0)), lefts
+    X = np.stack([ks[i : i + window_size] for i in lefts])  # (m, w) ints
+    y = ks[lefts + window_size]
+    rng = np.random.default_rng(seed)
+    h = hidden
+    sc_in = 1.0 / np.sqrt(V + h)
+    Wx = rng.normal(0, sc_in, (V, 4 * h))
+    Wh = rng.normal(0, sc_in, (h, 4 * h))
+    b = np.zeros(4 * h)
+    b[h : 2 * h] = 1.0
+    Wo = rng.normal(0, 1.0 / np.sqrt(h), (h, V))
+    bo = np.zeros(V)
+    params = [Wx, Wh, b, Wo, bo]
+    adam_m = [np.zeros_like(p) for p in params]
+    adam_v = [np.zeros_like(p) for p in params]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    onehot = np.eye(V)
+    for ep in range(1, epochs + 1):
+        H = np.zeros((m, h))
+        C = np.zeros((m, h))
+        cache = []
+        for t in range(window_size):
+            xt = onehot[X[:, t]]  # (m, V)
+            z = xt @ Wx + H @ Wh + b
+            i = 1.0 / (1.0 + np.exp(-z[:, :h]))
+            f = 1.0 / (1.0 + np.exp(-z[:, h : 2 * h]))
+            o = 1.0 / (1.0 + np.exp(-z[:, 2 * h : 3 * h]))
+            g = np.tanh(z[:, 3 * h :])
+            C_new = f * C + i * g
+            H_new = o * np.tanh(C_new)
+            cache.append((xt, H, C, i, f, o, g, C_new))
+            H, C = H_new, C_new
+        logits = H @ Wo + bo
+        logits -= logits.max(axis=1, keepdims=True)
+        P = np.exp(logits)
+        P /= P.sum(axis=1, keepdims=True)
+        dlogits = (P - onehot[y]) / m
+        gWo = H.T @ dlogits
+        gbo = dlogits.sum(0)
+        dH = dlogits @ Wo.T
+        dC = np.zeros_like(dH)
+        gWx = np.zeros_like(Wx)
+        gWh = np.zeros_like(Wh)
+        gb = np.zeros_like(b)
+        for t in reversed(range(window_size)):
+            xt, Hp, Cp, i, f, o, g, Cn = cache[t]
+            tC = np.tanh(Cn)
+            do = dH * tC
+            dCn = dC + dH * o * (1 - tC * tC)
+            di, df, dg = dCn * g, dCn * Cp, dCn * i
+            dz = np.concatenate(
+                [di * i * (1 - i), df * f * (1 - f),
+                 do * o * (1 - o), dg * (1 - g * g)], axis=1)
+            gWx += xt.T @ dz
+            gWh += Hp.T @ dz
+            gb += dz.sum(0)
+            dH = dz @ Wh.T
+            dC = dCn * f
+        grads = [gWx, gWh, gb, gWo, gbo]
+        for p, gr, mm, vv in zip(params, grads, adam_m, adam_v):
+            mm += (1 - b1) * (gr - mm)
+            vv += (1 - b2) * (gr * gr - vv)
+            p -= lr * (mm / (1 - b1**ep)) / (np.sqrt(vv / (1 - b2**ep)) + eps)
+    # final forward for scores
+    H = np.zeros((m, h))
+    C = np.zeros((m, h))
+    for t in range(window_size):
+        xt = onehot[X[:, t]]
+        z = xt @ Wx + H @ Wh + b
+        i = 1.0 / (1.0 + np.exp(-z[:, :h]))
+        f = 1.0 / (1.0 + np.exp(-z[:, h : 2 * h]))
+        o = 1.0 / (1.0 + np.exp(-z[:, 2 * h : 3 * h]))
+        g = np.tanh(z[:, 3 * h :])
+        C = f * C + i * g
+        H = o * np.tanh(C)
+    logits = H @ Wo + bo
+    logits -= logits.max(axis=1, keepdims=True)
+    P = np.exp(logits)
+    P /= P.sum(axis=1, keepdims=True)
+    return 1.0 - P[np.arange(m), y], lefts
+
+
 def telemanom_threshold(errors: np.ndarray,
                         z_range: np.ndarray | None = None) -> float:
     """Telemanom's nonparametric dynamic error threshold (Hundman et al.
@@ -841,6 +945,60 @@ _CORES["cof"] = cof_scores
 _CORES["sod"] = sod_scores
 _QUADRATIC.add("cof")
 _QUADRATIC.add("sod")
+
+
+def detect_sequence(
+    df: DataFrame,
+    key_col: str,
+    window_size: int = 10,
+    contamination: float = 0.1,
+    keys: list[str] | None = None,
+    order_cols: list[str] | None = None,
+    max_group_size: int = 100_000,
+    **params,
+) -> DataFrame:
+    """DeepLog frame contract: per group, integer-encode the categorical
+    `key_col` stream (sorted-unique order — deterministic), train
+    `deeplog_scores` and emit one row per window position with
+    score = 1 − P(actual next key), percentile threshold, label."""
+    keys = keys or []
+    order_cols = order_cols or ["timestamp"]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group_size:
+            gk = {k: pdf[k].iloc[0] for k in keys}
+            raise ValueError(
+                f"detect_sequence: group {gk} has {len(pdf)} rows > "
+                f"{max_group_size}; re-key by a time-bounded key"
+            )
+        pdf = pdf.sort_values(order_cols)
+        vocab = {k: i for i, k in enumerate(sorted(pdf[key_col].unique()))}
+        ks = pdf[key_col].map(vocab).to_numpy(int)
+        scores, lefts = deeplog_scores(ks, window_size, **params)
+        if len(scores):
+            th = np.percentile(scores, 100 * (1 - contamination))
+            labels = (scores > th).astype(int)
+        else:
+            th, labels = 0.0, np.array([], int)
+        out = pd.DataFrame(
+            {
+                "seg_id": np.arange(len(scores)),
+                "left_ind": lefts,
+                "right_ind": np.minimum(lefts + window_size, len(ks)),
+                "score": scores,
+                "threshold": th,
+                "label": labels,
+            }
+        )
+        for k in keys:
+            out[k] = pdf[k].iloc[0]
+        return out[[*keys, "seg_id", "left_ind", "right_ind", "score",
+                    "threshold", "label"]]
+
+    key_fields = "".join(f"`{k}` string, " for k in keys)
+    schema = (f"{key_fields}seg_id long, left_ind long, right_ind long, "
+              "score double, threshold double, label int")
+    return grouped_apply(df, keys, fn, schema)
 
 
 def detect_supervised(

@@ -3697,6 +3697,24 @@ FROM allsc s JOIN th USING (event_type, day)
 """
 
 
+@register("detect_deeplog")  # rows-only: LSTM next-key classifier
+def detect_deeplog_q(spark, sf_dir):
+    """DeepLog.py:196 — Du et al. 2017: an LSTM predicts the next log
+    key from the preceding window; anomaly score = 1 − P(actual key).
+    The per-day event_type stream (ordered by ts, event_id) is the log;
+    numpy LSTM with softmax head, seeded + deterministic
+    (detectors.deeplog_scores). Iterative training: rows-only."""
+    ev = _events(spark, sf_dir)
+    s = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type", "ts", "event_id",
+    )
+    return DET.detect_sequence(
+        s, "event_type", window_size=10, keys=["day"],
+        order_cols=["ts", "event_id"],
+    )
+
+
 @register("detect_lstmod")  # rows-only: LSTM training (BPTT)
 def detect_lstmod_q(spark, sf_dir):
     """core/LSTMOD.py:17 — LSTM forecaster residual scores. The keras
