@@ -99,6 +99,23 @@ def main() -> None:
             pd.testing.assert_frame_equal(
                 g, e, check_dtype=True, check_exact=True
             )
+            # assert_frame_equal treats -0.0 == +0.0 but the driver hashes
+            # them as DIFFERENT values (round-3 lesson: detect_abod /
+            # auto_correlation went driver-red on exactly this). Compare
+            # sign bits of float columns explicitly so the local gate
+            # matches the driver's hash semantics.
+            sb_bad = []
+            for c in g.columns:
+                if g[c].dtype.kind == "f":
+                    gs = np.signbit(g[c].to_numpy())
+                    es = np.signbit(e[c].to_numpy())
+                    n_diff = int((gs != es).sum())
+                    if n_diff:
+                        sb_bad.append((c, n_diff))
+            if sb_bad:
+                failures.append((name, f"signbit {sb_bad}"))
+                print(f"FAIL {name}: -0.0/+0.0 signbit mismatch {sb_bad}")
+                continue
             print(f"PASS {name} ({len(got)} rows)")
         except AssertionError as err:
             failures.append((name, "values"))

@@ -156,7 +156,10 @@ def _nelder_mead(f, x0: np.ndarray, step: float = 0.15,
     return simplex[best], fv[best]
 
 
-def holt_winters_optimize(y: np.ndarray, m: int = 3) -> tuple[float, float, float]:
+def holt_winters_optimize(y: np.ndarray, m: int = 3,
+                          start_grid: tuple | None = None,
+                          max_iter: int = 400
+                          ) -> tuple[float, float, float]:
     """Fit (α, β, γ) by SSE minimization over the fitted values — the numpy
     replication of what statsmodels' ExponentialSmoothing(...).fit()
     does for the reference (HoltWintersExponentialSmoothing.py:169-181,
@@ -173,22 +176,38 @@ def holt_winters_optimize(y: np.ndarray, m: int = 3) -> tuple[float, float, floa
         return _hw_sse(y, m, a, b, g)
 
     best_x, best_f = None, np.inf
-    for a0 in (0.1, 0.5, 0.9):
-        for b0, g0 in ((0.05, 0.05), (0.2, 0.2)):
-            x, fx = _nelder_mead(sse, np.array([a0, b0, g0]))
-            if fx < best_f:
-                best_x, best_f = x, fx
+    for a0, b0, g0 in start_grid if start_grid is not None else DEFAULT_STARTS:
+        x, fx = _nelder_mead(sse, np.array([a0, b0, g0]), max_iter=max_iter)
+        if fx < best_f:
+            best_x, best_f = x, fx
     a, b, g = np.clip(best_x, 0.0, 1.0)
     return float(a), float(b), float(g)
 
 
-def holt_winters_auto(y: np.ndarray, m: int = 3) -> np.ndarray:
+#: statsmodels-style deterministic multi-start seed grid (3 α × 2 (β,γ)).
+DEFAULT_STARTS = tuple(
+    (a0, b0, g0)
+    for a0 in (0.1, 0.5, 0.9)
+    for b0, g0 in ((0.05, 0.05), (0.2, 0.2))
+)
+
+#: 2-start subset used by the driver-budget `holt_winters_auto_1d` query —
+#: the SQL twin inlines the SAME grid so both sides run the identical search.
+SMALL_STARTS = ((0.1, 0.05, 0.05), (0.5, 0.2, 0.2))
+
+
+def holt_winters_auto(y: np.ndarray, m: int = 3,
+                      start_grid: tuple | None = None,
+                      max_iter: int = 400) -> np.ndarray:
     """Holt-Winters fittedvalues with optimizer-chosen (α, β, γ) — the
-    engine analogue of the reference's statsmodels .fit() default."""
+    engine analogue of the reference's statsmodels .fit() default.
+    `start_grid` shrinks the multi-start seed grid (same optimizer code
+    path) for driver-budget variants; default = the full 6-start grid."""
     y = np.asarray(y, float)
     if len(y) < 2 * m:
         return ses_fitted(y)
-    a, b, g = holt_winters_optimize(y, m)
+    a, b, g = holt_winters_optimize(y, m, start_grid=start_grid,
+                                    max_iter=max_iter)
     return holt_winters_fitted(y, m, a, b, g)
 
 

@@ -175,14 +175,14 @@ def stat_window(
                 n = F.count(v).over(frame)
                 e = (F.last(v).over(frame) - F.first(v).over(frame)) / (n - 1)
             if stat in _ROUND4:
-                e = F.round(e + F.lit(1e-9), 4)  # nudge: see queries._r4
+                e = F.round(e + F.lit(1e-9), 4) + F.lit(0.0)  # nudge + -0.0 fix: see queries._r4
             out_cols.append(e.alias(name))
             continue
 
         frame = base.rowsBetween(-(window_size - 1), 0)
         raw = _frame_agg(stat, v, frame, window_size)
         if stat in _ROUND4:
-            raw = F.round(raw + F.lit(1e-9), 4)  # nudge: see queries._r4
+            raw = F.round(raw + F.lit(1e-9), 4) + F.lit(0.0)  # nudge + -0.0 fix: see queries._r4
         out_cols.append(_backfill(raw, base, window_size).alias(name))
 
     result = df.select("*", *out_cols)
