@@ -39,29 +39,38 @@ BENCH_QUERIES = [
     "dedup_minute_avg",
     "denormalize_revenue",
     "q1_pricing_summary",
-    # LLM-pipeline ops (documents/embeddings tables)
+    # LLM-pipeline ops (documents/embeddings tables). ann/doc_quality run
+    # BEFORE the two minhash variants: round 3 recorded a 4.4x regression
+    # on untouched ann code that correlated with the minhash warm-up
+    # preceding it (JIT/arena interaction), so the cheap expression-only
+    # queries are timed first.
     "dedup_exact_groups",
-    "minhash_lsh_candidates",
     "ann_cosine_top5",
     "doc_quality",
+    "minhash_lsh_candidates",
+    "minhash_lsh_candidates_xxh64",
 ]
 
 
 def _minhash_engine_native(spark, sf_dir):
-    """Bench the ENGINE default (xxhash64 base hash — JVM-native), not the
-    md5 oracle-parity path the registered twin uses: md5 is a constant-
-    factor portability price paid only where a DuckDB cross-check runs."""
+    """The ENGINE default (xxhash64 base hash — JVM-native). Published
+    under its own bench name: the registered `minhash_lsh_candidates`
+    correctness row runs the md5 oracle-parity path, so timing the xxh64
+    path under that name would make perf and correctness evidence refer
+    to different code. Both variants are benched — md5 is the
+    constant-factor portability price paid only where a DuckDB
+    cross-check runs."""
     from tods_spark.operators import dedup as DD
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.minhash_lsh_candidates(docs, k=16, bands=8)
 
 
-BENCH_IMPLS = {"minhash_lsh_candidates": _minhash_engine_native}
+BENCH_IMPLS = {"minhash_lsh_candidates_xxh64": _minhash_engine_native}
 
 
 def _bench_fn(name):
-    return BENCH_IMPLS.get(name, QUERIES[name])
+    return BENCH_IMPLS[name] if name in BENCH_IMPLS else QUERIES[name]
 
 # docs per sf unit: sf0.1 → 400k docs (~100M tokens), sf0.01 → 40k
 DOCS_PER_SF = 4_000_000
@@ -135,11 +144,17 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = _bench_fn(name)
         best = None
-        for _ in range(2):
+        # best-of-3 for short queries (host contention varies identical
+        # runs 3-5x and a single unlucky pair can't always absorb it —
+        # round 3's ann_cosine_top5 4.4x ghost regression); best-of-2 is
+        # enough once a query is long enough to amortize the noise
+        for rep in range(3):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             sec = time.time() - t0
             best = sec if best is None or sec < best else best
+            if rep == 1 and best >= 5.0:
+                break
         timings[name] = round(best, 3)
         assert n > 0, name
 

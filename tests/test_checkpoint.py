@@ -163,3 +163,42 @@ def test_compaction_merges_small_files(spark, tmp_path):
     assert t.snapshots()[-1]["op"] == "compact"
     # already-compact table: no-op
     assert t.compact(min_files=2) == {}
+
+
+def test_compaction_converges_and_prunes_multicol(spark, tmp_path):
+    """Two regression properties of compact() on MULTI-column partitioning:
+
+    1. The todo filter is an OR of per-partition conjunctions, so a
+       partition sharing one column value with a fragmented one (the
+       isin cross-product hazard: day=1/hour=4 vs fragmented day=1/hour=2
+       and day=3/hour=4) is never rewritten.
+    2. The salt modulus is per-partition ceil(bytes/target) and the todo
+       rule is n_files > max(min_files, own target), so a second
+       maintenance pass is a no-op — the table converges instead of being
+       rewritten every run."""
+    from pyspark.sql import functions as F
+
+    from tods_spark.sources.storage import PartitionedTable
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day", "hour"])
+    for i in range(4):
+        t.append(spark.range(100).coalesce(2).select(
+            F.lit(1).alias("day"), F.lit(2).alias("hour"),
+            F.col("id").alias("v")))
+        t.append(spark.range(100).coalesce(2).select(
+            F.lit(3).alias("day"), F.lit(4).alias("hour"),
+            (F.col("id") + i).alias("v")))
+    t.append(spark.range(50).coalesce(1).select(
+        F.lit(1).alias("day"), F.lit(4).alias("hour"),
+        F.col("id").alias("v")))
+    before = {r["partition"]: r["n_files"] for r in t.file_report()}
+    assert before["day=1/hour=4"] == 1
+
+    done = t.compact(min_files=2)
+    assert "day=1/hour=4" not in done  # cross-product victim stays out
+    assert set(done) == {"day=1/hour=2", "day=3/hour=4"}
+    assert t.read().filter("day=1 and hour=4").count() == 50
+    assert t.read().filter("day=1 and hour=2").count() == 400
+    assert t.read().filter("day=3 and hour=4").count() == 400
+    # convergence: an immediate second pass must find nothing to do
+    assert t.compact(min_files=2) == {}

@@ -23,6 +23,8 @@ designed Spark-first:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -59,17 +61,33 @@ def chunk_layout(n_bits: int, chunks: int) -> list[tuple[int, int]]:
     return layout
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """Small-input guard: a tiny doc table read from one parquet file is ONE
     scan partition, which serializes the shingle/hash stage onto a single
     core. When the scan has far fewer partitions than the cluster has slots,
     one balancing repartition (cost: one pass over the raw text, small by
-    construction here) unlocks the full width. At real scale (splits >>
-    cores) this is a metadata check and a no-op — no shuffle is added."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
+    construction here) unlocks the full width.
+
+    The split count is estimated from FILE METADATA (`df.inputFiles()` +
+    local file sizes vs a 128 MiB split), never `df.rdd.getNumPartitions()`
+    — the RDD conversion materializes a second physical plan even when the
+    guard is a no-op, which is exactly the real-scale case. Non-file
+    sources (in-memory test frames) skip the guard: their parallelism is
+    set by their origin. The repartition hashes on `key_col` (stable,
+    retry-deterministic row placement), not round-robin."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        return df
+    est_splits = len(files)
+    try:
+        sizes = [os.path.getsize(f.removeprefix("file:")) for f in files]
+        est_splits += sum(sizes) // (128 * 1024 * 1024)
+    except OSError:
+        pass  # non-local URIs: file count remains the lower-bound estimate
+    if est_splits < max(2, target // 2):
+        return df.repartition(target, F.col(key_col))
     return df
 
 
@@ -96,7 +114,7 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", col: str = "text",
             lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
         )
     )
-    df = _ensure_parallelism(df)
+    df = _ensure_parallelism(df, id_col)
     return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
 
 
@@ -255,7 +273,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", col: str = "text",
     word_hash = (
         (lambda w: md5_h64(w)) if hash_fn == "md5" else (lambda w: F.xxhash64(w))
     )
-    df = _ensure_parallelism(df)
+    df = _ensure_parallelism(df, id_col)
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(words(col), word_hash).alias("hashes"),

@@ -31,8 +31,19 @@ def read_csv(
     """Schema-first CSV scan. `schema` is DDL ("a int, ts timestamp, ...");
     malformed rows carry the raw line in the corrupt-record column and are
     dropped unless keep_corrupt=True — the caller can route them to a
-    quarantine sink instead of failing the job. With header=True the
-    header line (recognized as the comma-joined field names) is dropped."""
+    quarantine sink instead of failing the job.
+
+    With header=True a line is recognized as a header by PARSED-FIELD
+    comparison: the line is CSV-parsed as strings and dropped iff every
+    trimmed field equals the corresponding schema column name — so
+    quoted/whitespace header variants (`"a","b"` / ` a , b`) are dropped
+    wherever they appear (multi-file scans have one per file), while a
+    typed data row can only match if ALL its fields are string-equal to
+    ALL column names in order. Reordered-column headers do NOT match and
+    surface as corrupt rows in the quarantine — by design, since silently
+    accepting them would mis-assign every column in that file. The check
+    is a single-scan projection: no shuffle, no extra jobs, no
+    per-file-min bookkeeping — it survives a 100 TB directory."""
     field_names = [f.strip().split()[0].strip("`")
                    for f in schema.split(",") if f.strip()]
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
@@ -41,7 +52,15 @@ def read_csv(
         opts["timestampNTZFormat"] = ts_format
     lines = spark.read.text(path)
     if header:
-        lines = lines.filter(F.col("value") != ",".join(field_names))
+        hdr_schema = ", ".join(
+            f"`__h{i}__` string" for i in range(len(field_names))
+        )
+        hdr = F.from_csv("value", hdr_schema)
+        is_header = None
+        for i, name in enumerate(field_names):
+            eq = F.trim(hdr.getField(f"__h{i}__")) == F.lit(name)
+            is_header = eq if is_header is None else (is_header & eq)
+        lines = lines.filter(~F.coalesce(is_header, F.lit(False)))
     parsed = lines.select(
         F.from_csv(
             "value", f"{schema}, `{CORRUPT_COL}` string", opts

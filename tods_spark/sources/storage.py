@@ -125,37 +125,73 @@ class PartitionedTable:
         At scale this is the maintenance pass that keeps a year of 1m-tier
         partitions from accumulating one file per micro-run: scan cost is
         bounded by the SELECTED partitions, not the table."""
+        from functools import reduce
+
         from pyspark.sql import functions as F
 
+        def n_target(r: dict) -> int:
+            return max(1, -(-r["bytes"] // target_bytes))
+
         report = {r["partition"]: r for r in self.file_report()}
-        todo = {p: r for p, r in report.items() if r["n_files"] > min_files}
+        # convergence: a partition is compaction-worthy only when its file
+        # count exceeds BOTH min_files and its own byte-proportional target
+        # ceil(bytes/target_bytes) — a big partition correctly split into
+        # ceil(bytes/target) files is NOT rewritten again, so repeated
+        # maintenance passes are no-ops once the table is compact
+        todo = {
+            p: r for p, r in report.items()
+            if r["n_files"] > max(min_files, n_target(r))
+        }
         if not todo:
             return {}
-        # partition dir names are col=value; select them by filter so the
-        # scan prunes to exactly the partitions being rewritten
-        conds = None
-        vals_by_col: dict[str, set] = {}
-        for p in todo:
-            for seg in p.split(os.sep):
-                col, _, val = seg.partition("=")
-                vals_by_col.setdefault(col, set()).add(val)
         df = self.read()
-        for col, vals in vals_by_col.items():
-            conds = F.col(col).isin(sorted(vals)) if conds is None else (
-                conds & F.col(col).isin(sorted(vals))
-            )
+
+        # partition dir names are col=value; select the todo set with an OR
+        # of per-partition AND-conjunctions (NOT per-column isin sets: those
+        # select the CROSS PRODUCT of values and dynamic overwrite would
+        # silently rewrite untouched partitions outside the todo set)
+        def part_kv(p: str) -> dict[str, str]:
+            return dict(seg.partition("=")[::2] for seg in p.split(os.sep))
+
+        conds = reduce(
+            lambda a, b: a | b,
+            [
+                reduce(
+                    lambda a, b: a & b,
+                    [F.col(c) == F.lit(v) for c, v in part_kv(p).items()],
+                )
+                for p in todo
+            ],
+        )
         selected = df.filter(conds)
-        # files per partition dir = ceil(partition bytes / target); a salt
-        # bucket splits oversized partitions while small ones stay 1 file
-        n_out = max(1, -(-max(r["bytes"] for r in todo.values())
-                         // target_bytes))
-        salted = selected.withColumn(
+        # files per partition dir = ceil(THAT partition's bytes / target):
+        # a per-partition salt modulus, broadcast-joined on the partition
+        # cols, so small fragmented partitions collapse to 1 file while an
+        # oversized one splits into exactly its own ceil(bytes/target)
+        cols = [df.schema[c].dataType for c in self.partition_cols]
+        nout_rows = [
+            tuple(part_kv(p)[c] for c in self.partition_cols) + (n_target(r),)
+            for p, r in todo.items()
+        ]
+        nout_df = self.spark.createDataFrame(
+            nout_rows, [*self.partition_cols, "__nout__"]
+        ).select(
+            *[
+                F.col(c).cast(t).alias(c)
+                for c, t in zip(self.partition_cols, cols)
+            ],
+            F.col("__nout__").cast("int"),
+        )
+        salted = selected.join(
+            F.broadcast(nout_df), on=self.partition_cols, how="inner"
+        ).withColumn(
             "__salt__",
-            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_out)),
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                   F.col("__nout__").cast("bigint")),
         )
         compacted = salted.repartition(
             *self.partition_cols, "__salt__"
-        ).drop("__salt__")
+        ).drop("__salt__", "__nout__")
         (
             compacted.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
