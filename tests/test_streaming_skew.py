@@ -234,3 +234,132 @@ def test_streaming_chained_cascade_matches_batch(spark, tmp_path):
               "sum_sq_n_tok"):
         np.testing.assert_allclose(merged[f"{c}_s"], merged[f"{c}_b"],
                                    rtol=1e-12, err_msg=c)
+
+
+def test_streaming_cascade_1d_matches_batch(spark, tmp_path):
+    """raw -> 1m -> 1h -> 1d: THREE chained stateful windowed aggs in one
+    streaming query. Input spans 2+ days (60s cadence) so at least one 1d
+    window finalizes under the watermark; every emitted 1d window matches
+    the batch cascade exactly."""
+    from tods_spark.datagen import SCHEMA, token_table
+    from tods_spark.operators.rollup import rollup_cascade, rollup_raw
+    from tods_spark.streaming.rollup_stream import streaming_cascade
+    from pyspark.sql.types import _parse_datatype_string
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "cascade1d_src")
+    tok = token_table(spark, 4000, partitions=6, cadence_s=60)
+    b = tok.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    assert (b["hi"] - b["lo"]).days >= 2
+    edges = pd.date_range(b["lo"], b["hi"], periods=7)
+    for i in range(6):
+        upper = (F.col("ts") <= str(edges[i + 1])) if i == 5 else (
+            F.col("ts") < str(edges[i + 1])
+        )
+        (tok.filter((F.col("ts") >= str(edges[i])) & upper)
+         .coalesce(1).write.parquet(f"{src}/batch={i:02d}"))
+    batch = (
+        rollup_cascade(
+            rollup_cascade(
+                rollup_raw(spark.read.parquet(src + "/batch=*"), "1m"),
+                "1m", "1h",
+            ),
+            "1h", "1d",
+        )
+        .orderBy("source", "window_start")
+        .toPandas()
+    )
+    stream = (
+        spark.readStream.schema(_parse_datatype_string(SCHEMA))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch=*")
+    )
+    out = streaming_cascade(stream, tiers=("1m", "1h", "1d"))
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("cascade1d_stream").start())
+    q.processAllAvailable()
+    q.stop()
+    streamed = (spark.sql("SELECT * FROM cascade1d_stream")
+                .orderBy("source", "window_start").toPandas())
+    # >= 2 full days -> at least the first day's windows finalize
+    assert len(streamed) > 0
+    merged = streamed.merge(batch, on=["source", "window_start"],
+                            suffixes=("_s", "_b"))
+    assert len(merged) == len(streamed)
+    for c in ("cnt", "sum_n_tok", "min_n_tok", "max_n_tok", "avg_n_tok",
+              "sum_sq_n_tok"):
+        np.testing.assert_allclose(merged[f"{c}_s"], merged[f"{c}_b"],
+                                   rtol=1e-12, err_msg=c)
+
+
+def test_streaming_cascade_late_data_within_watermark(spark, tmp_path):
+    """Out-of-order input: a later micro-batch delivers events with
+    timestamps BEHIND the stream's max event time but inside the
+    watermark delay. Those late rows must be merged into their (still
+    open) windows — every emitted 1h window equals the batch rollup over
+    the full input, late rows included."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from tods_spark.operators.rollup import rollup_cascade, rollup_raw
+    from tods_spark.streaming.rollup_stream import streaming_cascade
+
+    schema = "ts timestamp, source string, n_tok int"
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mk(minutes_vals):
+        return pd.DataFrame({
+            "ts": [base + pd.Timedelta(minutes=m) for m, _ in minutes_vals],
+            "source": ["web"] * len(minutes_vals),
+            "n_tok": [v for _, v in minutes_vals],
+        })
+
+    # file 0: minutes 0-9 (in order). file 1: max event time jumps to 30,
+    # PLUS late rows at minutes 3 and 7 — behind the max the stream has
+    # seen after this batch, but within the 1-hour watermark, so they must
+    # land in their original 1m/1h windows. file 2: advances event time to
+    # minute 200 (>1h + watermark past hour 0) to finalize hour 0.
+    files = [
+        mk([(m, 10 + m) for m in range(10)]),
+        mk([(30, 99), (3, 1000), (7, 2000)]),
+        mk([(200, 5), (205, 6)]),
+    ]
+    src = str(tmp_path / "late_src")
+    for i, pdf in enumerate(files):
+        (spark.createDataFrame(pdf, schema).coalesce(1)
+         .write.parquet(f"{src}/batch={i:02d}"))
+
+    batch = (
+        rollup_cascade(
+            rollup_raw(spark.read.parquet(src + "/batch=*"), "1m"),
+            "1m", "1h",
+        )
+        .orderBy("source", "window_start").toPandas()
+    )
+    stream = (
+        spark.readStream.schema(_parse_datatype_string(schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch=*")
+    )
+    out = streaming_cascade(stream, tiers=("1m", "1h"),
+                            watermark="1 hour")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("late_stream").start())
+    q.processAllAvailable()
+    q.stop()
+    streamed = (spark.sql("SELECT * FROM late_stream")
+                .orderBy("source", "window_start").toPandas())
+    # hour 0 must have finalized, and its aggregate must INCLUDE the two
+    # late rows (sum over minutes 0..9 plus 1000 + 2000 + the minute-30 row)
+    assert len(streamed) >= 1
+    h0 = streamed[streamed.window_start == base]
+    assert len(h0) == 1
+    b0 = batch[batch.window_start == base]
+    for c in ("cnt", "sum_n_tok", "min_n_tok", "max_n_tok", "avg_n_tok",
+              "sum_sq_n_tok"):
+        np.testing.assert_allclose(h0[c].to_numpy(), b0[c].to_numpy(),
+                                   rtol=1e-12, err_msg=c)
+    assert h0["cnt"].iloc[0] == 13  # 10 in-order + 1 at min 30 + 2 late

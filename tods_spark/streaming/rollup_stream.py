@@ -56,24 +56,32 @@ def streaming_rollup_1m(
     )
 
 
-def streaming_cascade_1m_1h(
+_TIER_INTERVAL = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+
+def streaming_cascade(
     stream_df: DataFrame,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
     ts_col: str = "ts",
     value_col: str = "n_tok",
     keys: tuple[str, ...] = ("source",),
     watermark: str = "2 minutes",
 ) -> DataFrame:
-    """CHAINED streaming tier cascade — raw → 1m → 1h inside ONE streaming
-    query (Spark ≥3.4 multiple-stateful-operator support): the 1m windowed
-    aggregation keeps its window struct, and the 1h tier re-aggregates the
-    1m ALGEBRAIC state on `window(window_time(w), '1 hour')`, exactly the
+    """CHAINED streaming tier cascade — raw → 1m → 1h → 1d inside ONE
+    streaming query (Spark ≥3.4 multiple-stateful-operator support): the
+    first windowed aggregation builds the algebraic 1m state from raw
+    events, and every later tier re-aggregates the PREVIOUS tier's
+    ALGEBRAIC state on `window(window_time(w), <interval>)` — exactly the
     batch rollup_cascade composition (sum of cnt/sums, min of mins, max of
-    maxes). State stays bounded by the watermark at both levels; each
-    finalized 1h window is emitted once in append mode."""
+    maxes), so tier N+1 state is O(windows), never O(rows). The single
+    watermark on the raw input propagates through all levels (each tier's
+    event time is `window_time` of the tier below), keeping state bounded
+    end-to-end; each finalized window of the LAST tier is emitted once in
+    append mode."""
     v = F.col(value_col).cast("double")
-    t1m = (
+    cur = (
         stream_df.withWatermark(ts_col, watermark)
-        .groupBy(*keys, F.window(ts_col, "1 minute").alias("w"))
+        .groupBy(*keys, F.window(ts_col, _TIER_INTERVAL[tiers[0]]).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(v).alias("sum_n_tok"),
@@ -82,28 +90,44 @@ def streaming_cascade_1m_1h(
             F.sum(v * v).alias("sum_sq_n_tok"),
         )
     )
-    return (
-        t1m.groupBy(
-            *keys, F.window(F.window_time("w"), "1 hour").alias("w1h")
+    for tier in tiers[1:]:
+        cur = (
+            cur.groupBy(
+                *keys,
+                F.window(F.window_time("w"), _TIER_INTERVAL[tier]).alias("w"),
+            )
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("sum_n_tok").alias("sum_n_tok"),
+                F.min("min_n_tok").alias("min_n_tok"),
+                F.max("max_n_tok").alias("max_n_tok"),
+                F.sum("sum_sq_n_tok").alias("sum_sq_n_tok"),
+            )
         )
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("sum_n_tok").alias("sum_n_tok"),
-            F.min("min_n_tok").alias("min_n_tok"),
-            F.max("max_n_tok").alias("max_n_tok"),
-            F.sum("sum_sq_n_tok").alias("sum_sq_n_tok"),
-        )
-        .select(
-            *keys,
-            F.col("w1h.start").alias("window_start"),
-            F.lit("1h").alias("tier"),
-            "cnt",
-            "sum_n_tok",
-            "min_n_tok",
-            "max_n_tok",
-            (F.col("sum_n_tok") / F.col("cnt")).alias("avg_n_tok"),
-            "sum_sq_n_tok",
-        )
+    return cur.select(
+        *keys,
+        F.col("w.start").alias("window_start"),
+        F.lit(tiers[-1]).alias("tier"),
+        "cnt",
+        "sum_n_tok",
+        "min_n_tok",
+        "max_n_tok",
+        (F.col("sum_n_tok") / F.col("cnt")).alias("avg_n_tok"),
+        "sum_sq_n_tok",
+    )
+
+
+def streaming_cascade_1m_1h(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    keys: tuple[str, ...] = ("source",),
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """raw → 1m → 1h chained cascade (see streaming_cascade)."""
+    return streaming_cascade(
+        stream_df, tiers=("1m", "1h"), ts_col=ts_col, value_col=value_col,
+        keys=keys, watermark=watermark,
     )
 
 
