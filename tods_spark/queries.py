@@ -3326,6 +3326,34 @@ def detect_ae_q(spark, sf_dir):
                       keys=["event_type", "day"], order_col="window_start")
 
 
+@register("pipeline_default_ae")  # rows-only: same SVD core as detect_ae
+def pipeline_default_ae_q(spark, sf_dir):
+    """The reference's OUT-OF-THE-BOX pipeline, reproduced through entry
+    point B: `build_pipeline(...)` with the `ae` detector core as the
+    detection stage — exactly what `tods.utils.build_pipeline()` emits by
+    default (pyod_ae final step, tods/utils.py:46-53). Identical scores to
+    `detect_ae` by construction (the config routes to the same
+    detectors.detect call); registered so the default pipeline is
+    demonstrably runnable end-to-end via the public API, not just the
+    operator layer."""
+    from tods_spark.api import build_pipeline
+
+    pipe = build_pipeline({
+        "keys": ["event_type", "day"],
+        "order_col": "window_start",
+        "timeseries_processing": [],
+        "feature_analysis": [],
+        "detection": {"method": "ae", "value_col": "v",
+                      "window_size": 10, "contamination": 0.1},
+    })
+    out = pipe(_series_day(spark, sf_dir))
+    return out.select(
+        "event_type", "day", "seg_id", "left_ind", "right_ind",
+        _r4("score").alias("score"), _r4("threshold").alias("threshold"),
+        "label",
+    )
+
+
 def _cblof_sql(w: int = 10, kc: int = 4, alpha: float = 0.9,
                beta: float = 5.0, iters: int = 15,
                contamination: float = 0.1) -> str:
