@@ -502,3 +502,37 @@ def test_deeplog_detect_sequence_spark(spark):
                               contamination=0.05).toPandas()
     flagged = out[out.label == 1]
     assert ((flagged.left_ind + 6) == 90).any()
+
+
+def test_dagmm_energy_flags_spike_and_is_deterministic():
+    """DAGMM closed-form core: the spike window carries the top mixture
+    energy, and repeated fits are bitwise identical (strided k-means init
+    + fixed EM iterations, no RNG)."""
+    x = _series_with_spike()
+    s, lefts = DET.dagmm_scores(x, 12)
+    s2, _ = DET.dagmm_scores(x, 12)
+    np.testing.assert_array_equal(s, s2)
+    top = lefts[np.argsort(s)[-6:]]
+    assert any(l <= 200 < l + 12 for l in top)
+
+
+def test_vae_ppca_nll_flags_spike_and_is_deterministic():
+    """pPCA marginal NLL (the linear-VAE optimum): spike window has top
+    score; deterministic (single SVD, no sampling)."""
+    x = _series_with_spike()
+    s, lefts = DET.vae_scores(x, 12)
+    s2, _ = DET.vae_scores(x, 12)
+    np.testing.assert_array_equal(s, s2)
+    top = lefts[np.argsort(s)[-6:]]
+    assert any(l <= 200 < l + 12 for l in top)
+
+
+def test_dagmm_vae_detect_spark(spark):
+    x = _series_with_spike()
+    pdf = pd.DataFrame({"timestamp": range(len(x)), "value": x})
+    sdf = spark.createDataFrame(pdf)
+    for method in ("dagmm", "vae"):
+        out = DET.detect(sdf, "value", method, window_size=12,
+                         contamination=0.02).toPandas()
+        flagged = out[out.label == 1]
+        assert ((flagged.left_ind <= 200) & (flagged.right_ind >= 200)).any(), method

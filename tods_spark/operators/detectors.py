@@ -939,10 +939,135 @@ def sod_scores(x: np.ndarray, window_size: int, step: int = 1,
     return scores, lefts
 
 
+def _gmm_em(Z: np.ndarray, k: int, iters: int = 30,
+            reg: float = 1e-6) -> tuple:
+    """Full-covariance Gaussian mixture fit by EM with DETERMINISTIC
+    initialization (responsibilities from the strided-init `_kmeans`
+    labels — no RNG), the closed-form replacement for DAGMM's estimation
+    network: the paper's training objective drives the estimation net's
+    softmax γ toward the posterior responsibilities of exactly this
+    mixture (gmm.py:28-57 computes φ, μ, Σ from γ the same way EM's
+    M-step does). Returns (phi, mu, chol(Sigma) list)."""
+    m, d = Z.shape
+    labels, _ = _kmeans(Z, k)
+    gamma = np.zeros((m, k))
+    gamma[np.arange(m), labels] = 1.0
+    phi = gamma.mean(axis=0)
+    mu = np.zeros((k, d))
+    covs = np.zeros((k, d, d))
+    for _ in range(iters):
+        # M-step (gmm.py:28-57: phi = mean gamma, mu/Sigma gamma-weighted)
+        nk = gamma.sum(axis=0) + 1e-12
+        phi = nk / m
+        mu = (gamma.T @ Z) / nk[:, None]
+        for c in range(k):
+            zc = Z - mu[c]
+            covs[c] = (gamma[:, c][:, None] * zc).T @ zc / nk[c]
+            covs[c] += reg * np.eye(d)
+        # E-step: responsibilities via the same Cholesky log-density
+        logp = np.zeros((m, k))
+        for c in range(k):
+            L = np.linalg.cholesky(covs[c])
+            sol = np.linalg.solve(L, (Z - mu[c]).T)
+            logdet = 2.0 * np.log(np.diag(L)).sum()
+            logp[:, c] = np.log(phi[c] + 1e-12) - 0.5 * (
+                (sol**2).sum(axis=0) + d * np.log(2.0 * np.pi) + logdet
+            )
+        mx = logp.max(axis=1, keepdims=True)
+        w = np.exp(logp - mx)
+        gamma = w / w.sum(axis=1, keepdims=True)
+    chols = [np.linalg.cholesky(covs[c]) for c in range(k)]
+    return phi, mu, chols
+
+
+def dagmm_scores(x: np.ndarray, window_size: int, step: int = 1,
+                 n_latent: int = 1, n_comp: int = 2) -> tuple:
+    """DAGMM core (DAGMM.py:138 → core/dagmm/dagmm.py), re-derived in
+    closed form: the compression net is a linear AE — optimal at the
+    top-k PCA subspace (same argument as ae_scores) — and the estimation
+    net + GMM layer is an EM-fit Gaussian mixture over the DAGMM feature
+    vector z = [z_c, loss_E, loss_C] (compression_net.py:64-85: relative
+    Euclidean distance dist/(|x|+1e-3) and cosine dissimilarity
+    0.5·(1−x·x̂/(|x||x̂|+1e-3))). Score = the reference's sample energy
+    E(z) = −logsumexp_k[log φ_k − ½(vᵀv + d·log2π + log det Σ_k)] with
+    triangular-solved v (gmm.py:92-123, the log-sum-exp + Cholesky
+    formulation verbatim in numpy). Deterministic: SVD compression,
+    strided k-means init, fixed EM iterations — the documented deviation
+    from the reference is replacing joint SGD training of the two nets
+    with their closed-form optima."""
+    mat, lefts = _windows(x, window_size, step)
+    m = len(mat)
+    if m < max(4, n_comp + 2):
+        return np.zeros(m), lefts
+    mu0, sd0 = mat.mean(0), mat.std(0)
+    sd0[sd0 == 0] = 1.0
+    X = (mat - mu0) / sd0
+    _, _, vt = np.linalg.svd(X, full_matrices=False)
+    k = min(n_latent, vt.shape[0])
+    z_c = X @ vt[:k].T
+    x_dash = z_c @ vt[:k]
+    min_val = 1e-3
+    norm_x = np.sqrt((X**2).sum(axis=1))
+    norm_xd = np.sqrt((x_dash**2).sum(axis=1))
+    dist = np.sqrt(((X - x_dash) ** 2).sum(axis=1))
+    dot = (X * x_dash).sum(axis=1)
+    loss_e = dist / (norm_x + min_val)
+    loss_c = 0.5 * (1.0 - dot / (norm_x * norm_xd + min_val))
+    Z = np.column_stack([z_c, loss_e, loss_c])
+    phi, mug, chols = _gmm_em(Z, n_comp)
+    d = Z.shape[1]
+    logits = np.zeros((m, n_comp))
+    for c in range(n_comp):
+        sol = np.linalg.solve(chols[c], (Z - mug[c]).T)
+        logdet = 2.0 * np.log(np.diag(chols[c])).sum()
+        logits[:, c] = np.log(phi[c] + 1e-12) - 0.5 * (
+            (sol**2).sum(axis=0) + d * np.log(2.0 * np.pi) + logdet
+        )
+    mx = logits.max(axis=1)
+    energy = -(mx + np.log(np.exp(logits - mx[:, None]).sum(axis=1)))
+    return energy, lefts
+
+
+def vae_scores(x: np.ndarray, window_size: int, step: int = 1,
+               n_components: int = 2) -> tuple:
+    """VAE core (PyodVAE.py:303 → pyod.models.vae reconstruction-error
+    scoring), re-derived in closed form: a linear-Gaussian VAE's optimum
+    is probabilistic PCA (Tipping & Bishop 1999) — W spans the top-k
+    principal subspace scaled by (λ_i − σ²)^½ and σ² is the mean
+    discarded eigenvalue. Score = the marginal negative log-likelihood
+    −log N(z; 0, WWᵀ + σ²I) per standardized window (the VAE's ELBO gap
+    is zero at the linear optimum, so the ELBO-based outlier score
+    reduces to exactly this marginal). Deterministic: one SVD, no
+    sampling — the documented deviation is replacing the SGD-trained
+    encoder/decoder pair with the closed-form pPCA solution."""
+    mat, lefts = _windows(x, window_size, step)
+    m = len(mat)
+    if m < 3:
+        return np.zeros(m), lefts
+    mu0, sd0 = mat.mean(0), mat.std(0)
+    sd0[sd0 == 0] = 1.0
+    Z = (mat - mu0) / sd0
+    d = Z.shape[1]
+    _, s, vt = np.linalg.svd(Z, full_matrices=False)
+    lam = (s**2) / max(m - 1, 1)
+    k = min(n_components, len(lam) - 1)
+    sigma2 = float(lam[k:].mean()) if k < len(lam) else 1e-6
+    sigma2 = max(sigma2, 1e-9)
+    W = vt[:k].T * np.sqrt(np.maximum(lam[:k] - sigma2, 0.0))
+    C = W @ W.T + sigma2 * np.eye(d)
+    L = np.linalg.cholesky(C)
+    sol = np.linalg.solve(L, Z.T)
+    logdet = 2.0 * np.log(np.diag(L)).sum()
+    nll = 0.5 * ((sol**2).sum(axis=0) + d * np.log(2.0 * np.pi) + logdet)
+    return nll, lefts
+
+
 _CORES["ae"] = ae_scores
 _CORES["cblof"] = cblof_scores
 _CORES["cof"] = cof_scores
 _CORES["sod"] = sod_scores
+_CORES["dagmm"] = dagmm_scores
+_CORES["vae"] = vae_scores
 _QUADRATIC.add("cof")
 _QUADRATIC.add("sod")
 

@@ -3326,6 +3326,30 @@ def detect_ae_q(spark, sf_dir):
                       keys=["event_type", "day"], order_col="window_start")
 
 
+@register("detect_dagmm")  # rows-only: EM-GMM fit over SVD-latent features
+def detect_dagmm_q(spark, sf_dir):
+    """DAGMM (DAGMM.py:138 / core/dagmm/): closed-form compression (top-k
+    PCA = linear-AE optimum) + [z_c, loss_E, loss_C] feature vector +
+    EM-fit GMM; score = the reference's log-sum-exp Cholesky sample
+    energy (gmm.py:92-123). Rows-only: the EM fixed-point over full
+    covariance matrices is iterative (same justification class as
+    nmf_latent); determinism + spike-discovery are pytest-verified."""
+    s = _series_day(spark, sf_dir)
+    return DET.detect(s, "v", "dagmm", window_size=10,
+                      keys=["event_type", "day"], order_col="window_start")
+
+
+@register("detect_vae")  # rows-only: pPCA needs the top-k eigen pair
+def detect_vae_q(spark, sf_dir):
+    """PyodVAE.py:303 — the linear-Gaussian VAE optimum is probabilistic
+    PCA (Tipping & Bishop); score = marginal NLL under WWᵀ + σ²I per
+    standardized window. Rows-only for the same reason as detect_ae:
+    the top-k eigen pair has no closed SQL form at these spectra."""
+    s = _series_day(spark, sf_dir)
+    return DET.detect(s, "v", "vae", window_size=10,
+                      keys=["event_type", "day"], order_col="window_start")
+
+
 @register("pipeline_default_ae")  # rows-only: same SVD core as detect_ae
 def pipeline_default_ae_q(spark, sf_dir):
     """The reference's OUT-OF-THE-BOX pipeline, reproduced through entry
