@@ -76,3 +76,54 @@ def test_evaluate_pipeline_single_config(spark):
     )
     assert res["status"] == "COMPLETED"
     assert res["score"] > 0.6
+
+
+def test_tune_search_two_phase_improves_or_keeps_best(spark):
+    """RaySearcher analogue (searcher.py:55-140): phase 1 picks the best
+    primitive combination, phase 2 samples hyperparameters around it with
+    a seeded deterministic sampler. The returned best_config must score at
+    least as well as the phase-1 winner, and a re-run with the same seed
+    must reproduce the identical trial list and scores."""
+    from tods_spark.search import tune_search
+
+    df = spark.createDataFrame(_labeled_series())
+    space = {
+        "timeseries_processing": [[]],
+        "feature_analysis": [[]],
+        "detection": [
+            {"method": "autoreg", "value_col": "value", "window_size": 10},
+        ],
+        "contamination": [0.05],
+    }
+    cfg = {"num_samples": 4, "mode": "max", "metric": "f1_macro",
+           "seed": 7}
+    res = tune_search(df, "is_anomaly", space=space, config=cfg,
+                      keys=["source"], order_col="timestamp")
+    p1_best = next(r for r in res["phase1"] if r["status"] == "COMPLETED")
+    assert res["best_score"] >= p1_best["score"]
+    assert len(res["phase2"]) == 4
+    hp = [t["hyperparams"] for t in res["phase2"]]
+    assert all({"window_size", "contamination"} <= set(h) for h in hp)
+
+    res2 = tune_search(df, "is_anomaly", space=space, config=cfg,
+                       keys=["source"], order_col="timestamp")
+    assert [t["hyperparams"] for t in res2["phase2"]] == hp
+    assert [t["score"] for t in res2["phase2"]] == [
+        t["score"] for t in res["phase2"]]
+
+
+def test_tune_search_ignore_hyperparameters_skips_phase2(spark):
+    from tods_spark.search import tune_search
+
+    df = spark.createDataFrame(_labeled_series())
+    res = tune_search(
+        df, "is_anomaly",
+        space={"timeseries_processing": [[]], "feature_analysis": [[]],
+               "detection": [{"method": "autoreg", "value_col": "value",
+                              "window_size": 10}],
+               "contamination": [0.05]},
+        config={"ignore_hyperparameters": True},
+        keys=["source"], order_col="timestamp",
+    )
+    assert res["phase2"] == []
+    assert res["best_config"]["detection"]["method"] == "autoreg"

@@ -167,3 +167,132 @@ def brute_force_search(
                             "error": f"{type(e).__name__}: {e}"})
     results.sort(key=lambda r: r["rank"])
     return results
+
+
+# ---------------------------------------------------------------------------
+# Two-phase tuning searcher — engine analogue of the reference's
+# RaySearcher (tods/searcher/searcher.py:55-140): phase 1 searches
+# primitive COMBINATIONS (ray.tune over the primitive search space ==
+# brute_force_search here), phase 2 samples HYPERPARAMETERS around the
+# best primitive config (ray.tune num_samples == a seeded deterministic
+# sampler here — no RNG service in the engine, so reproducibility wins
+# over nevergrad parity, documented deviation).
+# ---------------------------------------------------------------------------
+
+#: default hyperparameter ranges per detection kind, mirroring the
+#: reference's hyperparam_searchspace() which tunes the primitive's
+#: TuningParameter fields around the phase-1 winner
+DEFAULT_HYPERPARAM_SPACE = {
+    "window_size": ("int", 5, 30),
+    "contamination": ("float", 0.01, 0.25),
+}
+
+
+def _sample_hyperparams(space: dict, n: int, seed: int) -> list[dict]:
+    """Deterministic stratified samples: each axis is swept over n evenly
+    spaced quantiles with a seeded per-axis offset, then zipped with a
+    seeded permutation per axis (a cheap latin-hypercube — covers every
+    axis's range even at small n, and two runs with the same seed emit
+    the same trials)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cols = {}
+    for name, (kind, lo, hi) in space.items():
+        q = (np.arange(n) + rng.uniform(0, 1, n)) / n
+        q = q[rng.permutation(n)]
+        vals = lo + q * (hi - lo)
+        cols[name] = (
+            np.rint(vals).astype(int) if kind == "int" else np.round(vals, 4)
+        )
+    return [
+        {name: (int(v[i]) if v.dtype.kind == "i" else float(v[i]))
+         for name, v in cols.items()}
+        for i in range(n)
+    ]
+
+
+def tune_search(
+    df: DataFrame,
+    truth_col: str,
+    space: dict | None = None,
+    config: dict | None = None,
+    hyperparam_space: dict | None = None,
+    keys: list[str] | None = None,
+    order_col: str = "timestamp",
+) -> dict:
+    """Two-phase search (searcher.py:68-140 semantics):
+
+    phase 1 — exhaustive primitive-combination search over `space`
+    (`use_all_combinations=True` ≡ the full cross-product grid;
+    brute_force_search already ranks errored pipelines worst);
+
+    phase 2 — unless `ignore_hyperparameters`, `num_samples`
+    deterministic latin-hypercube samples of `hyperparam_space` applied
+    to the phase-1 winner's detection stage, evaluated identically.
+
+    `config` accepts the reference's knobs: num_samples (default 8),
+    mode ('max' for scores like F1, 'min' for error metrics), metric,
+    ignore_hyperparameters, plus an engine-side `seed`. Returns
+    {best_config, best_score, phase1, phase2} — phase2 is [] when
+    skipped."""
+    cfg = {
+        "num_samples": 8, "mode": "max", "metric": "f1_macro",
+        "ignore_hyperparameters": False, "seed": 42,
+    }
+    cfg.update(config or {})
+    sign = -1.0 if cfg["mode"] == "max" else 1.0
+
+    phase1 = brute_force_search(
+        df, truth_col, space=space, metric=cfg["metric"], keys=keys,
+        order_col=order_col,
+    )
+    if cfg["mode"] == "min":
+        done = [r for r in phase1 if r["status"] == "COMPLETED"]
+        done.sort(key=lambda r: r["score"])
+        phase1 = done + [r for r in phase1 if r["status"] != "COMPLETED"]
+    best = next((r for r in phase1 if r["status"] == "COMPLETED"), None)
+    if best is None:
+        return {"best_config": None, "best_score": None,
+                "phase1": phase1, "phase2": []}
+    result = {"best_config": best["config"], "best_score": best["score"],
+              "phase1": phase1, "phase2": []}
+    det = best["config"]["detection"]
+    if cfg["ignore_hyperparameters"] or "method" not in det:
+        return result
+
+    hspace = hyperparam_space or DEFAULT_HYPERPARAM_SPACE
+    trials = _sample_hyperparams(hspace, cfg["num_samples"], cfg["seed"])
+    phase2 = []
+    for hp in trials:
+        trial_det = {**det, **{k: v for k, v in hp.items()
+                               if k != "contamination"}}
+        trial_cfg = {
+            **best["config"],
+            "detection": {**trial_det,
+                          "contamination": hp.get(
+                              "contamination",
+                              trial_det.get("contamination", 0.1))},
+        }
+        try:
+            r = evaluate_pipeline(df, trial_cfg, truth_col,
+                                  metric=cfg["metric"], keys=keys,
+                                  order_col=order_col)
+            phase2.append({"config": trial_cfg, "hyperparams": hp,
+                           "status": r["status"], "score": r["score"],
+                           "rank": sign * (r["score"] or 0.0)
+                           if r["status"] == "COMPLETED" else 1.0})
+        except Exception as e:  # noqa: BLE001 — rank errors worst
+            phase2.append({"config": trial_cfg, "hyperparams": hp,
+                           "status": "ERRORED", "score": None, "rank": 1.0,
+                           "error": f"{type(e).__name__}: {e}"})
+    phase2.sort(key=lambda r: r["rank"])
+    result["phase2"] = phase2
+    top2 = next((r for r in phase2 if r["status"] == "COMPLETED"), None)
+    if top2 is not None and (
+        (cfg["mode"] == "max" and top2["score"] >= best["score"])
+        or (cfg["mode"] == "min" and top2["score"] <= best["score"])
+    ):
+        result["best_config"] = top2["config"]
+        result["best_score"] = top2["score"]
+    return result
