@@ -201,25 +201,47 @@ def minhash_signatures(
     shingle, then coordinate i = min over shingles of (a_i·h + b_i) mod p
     (the standard universal-hash family — k coordinates cost k integer
     ops, not k cryptographic hashes; at 16 coordinates this is ~10× the
-    throughput of per-seed hashing). One explode + one groupBy, k mins
-    computed map-side. hash_fn picks the base hash:
+    throughput of per-seed hashing). hash_fn picks the base hash:
       * "xxhash64" (default): Spark-native JVM fast path — the engine and
         bench default (~2.5x the md5 throughput at sf0.1);
       * "md5": portable 60-bit md5 slice — DuckDB computes the identical
-        value, so the oracle-twin queries pass hash_fn="md5"."""
-    sh = shingle_table(df, id_col, col, n)
-    base = (md5_h64(F.col("shingle")) if hash_fn == "md5"
-            else F.xxhash64(F.col("shingle")))
-    h = F.pmod(base, F.lit(MINHASH_P))
+        value, so the oracle-twin queries pass hash_fn="md5".
+
+    Computed as a PURE PROJECTION (round 4): the per-doc shingle array is
+    hashed and reduced with higher-order functions (transform +
+    array_min), so the signature stage has NO explode, NO groupBy and NO
+    shuffle at all — each task streams docs and emits signatures; the
+    first exchange in the whole LSH pipeline is the band-bucket join.
+    (The previous explode+groupBy plan was already map-side partial, but
+    it still paid the 10⁷-row explode and a 400k-row exchange at sf0.1;
+    values are bitwise-identical — same min over the same integer set.)"""
+    df = _ensure_parallelism(df, id_col)
+    w = words(col)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        )
+    )
+    base = (
+        (lambda s: md5_h64(s)) if hash_fn == "md5"
+        else (lambda s: F.xxhash64(s))
+    )
+    hs = F.transform(shingles, lambda s: F.pmod(base(s), F.lit(MINHASH_P)))
     av, bv = minhash_coeffs(k)
-    hashed = sh.select("id", h.alias("h"))
-    mins = [
-        F.min((F.col("h") * F.lit(av[i]) + F.lit(bv[i])) % F.lit(MINHASH_P))
-        .alias(f"h{i}")
+    sig = F.array(*[
+        F.array_min(
+            F.transform(
+                F.col("__hs__"),
+                lambda h: (h * F.lit(av[i]) + F.lit(bv[i])) % F.lit(MINHASH_P),
+            )
+        )
         for i in range(k)
-    ]
-    sig = hashed.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+    ])
+    return (
+        df.select(F.col(id_col).alias("id"), hs.alias("__hs__"))
+        .select("id", sig.alias("sig"))
+    )
 
 
 def minhash_lsh_candidates(
