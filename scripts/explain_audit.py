@@ -141,6 +141,19 @@ def main() -> None:
     check("minhash engine path is pure JVM (no BatchEvalPython)",
           "BatchEvalPython" not in plan and "xxhash64" in plan.lower())
 
+    # 13. minhash SIGNATURE stage is a pure projection (round 4): no
+    #     HashAggregate, no Generate (explode), and the only admissible
+    #     Exchange is the small-input guard's REPARTITION_BY_NUM (a no-op
+    #     at real scale where splits >> cores) — an ENSURE_REQUIREMENTS
+    #     exchange would mean an aggregation shuffle crept back in
+    sig_plan = DD.minhash_signatures(
+        spark.read.parquet(f"{SF}/documents.parquet"), k=16
+    )._jdf.queryExecution().executedPlan().toString()
+    exchanges = [ln for ln in sig_plan.splitlines() if "Exchange" in ln]
+    check("minhash signature stage is shuffle-free (projection only)",
+          "HashAggregate" not in sig_plan and "Generate" not in sig_plan
+          and all("REPARTITION_BY_NUM" in ln for ln in exchanges))
+
     bad = [n for n, ok in checks if not ok]
     print(f"\n{len(checks) - len(bad)}/{len(checks)} plan checks pass")
     if bad:
