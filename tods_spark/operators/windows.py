@@ -73,9 +73,17 @@ def _frame_agg(stat: str, v: Column, w, frame_w: int) -> Column:
     if stat == "mean_abs":
         return F.avg(F.abs(v)).over(w)
     if stat == "gmean":
-        return F.exp(F.avg(F.log(v)).over(w))
+        # scipy.stats.gmean limit semantics when a zero is in the window:
+        # log(0) = -inf -> exp(mean) = 0.0 (zeros appear in real buckets —
+        # sf0.1 exposed them; ANSI Spark would error on log(0))
+        return F.when(F.min(v).over(w) <= 0, F.lit(0.0)).otherwise(
+            F.exp(F.avg(F.log(v)).over(w))
+        )
     if stat == "hmean":
-        return F.count(v).over(w) / F.sum(F.lit(1.0) / v).over(w)
+        # scipy.stats.hmean with a zero element: 1/0 = inf -> n/inf = 0.0
+        return F.when(F.min(v).over(w) <= 0, F.lit(0.0)).otherwise(
+            F.count(v).over(w) / F.sum(F.lit(1.0) / v).over(w)
+        )
     if stat == "mean_temporal_derivative":
         # np.mean(np.diff(window)) == (last - first) / (w-1), telescoping
         return (F.last(v).over(w) - F.first(v).over(w)) / F.lit(frame_w - 1)

@@ -2611,11 +2611,14 @@ ORACLES["stat_variation_w5"] = _stat_sql(
 )
 QUERIES["stat_gmean_w5"] = _mk_stat_query("gmean", 5)
 ORACLES["stat_gmean_w5"] = _stat_sql(
-    "round(exp(avg(ln(v)) OVER frame) + 1e-9, 4)", 5, "v_gmean"
+    "CASE WHEN min(v) OVER frame <= 0 THEN 0.0 ELSE "
+    "round(exp(avg(ln(v)) OVER frame) + 1e-9, 4) END", 5, "v_gmean"
 )
 QUERIES["stat_hmean_w5"] = _mk_stat_query("hmean", 5)
 ORACLES["stat_hmean_w5"] = _stat_sql(
-    "round(count(v) OVER frame / sum(1.0 / v) OVER frame + 1e-9, 4)", 5, "v_hmean"
+    "CASE WHEN min(v) OVER frame <= 0 THEN 0.0 ELSE "
+    "round(count(v) OVER frame / sum(1.0 / v) OVER frame + 1e-9, 4) END",
+    5, "v_hmean"
 )
 QUERIES["stat_matd_w5"] = _mk_stat_query("mean_abs_temporal_derivative", 5)
 ORACLES["stat_matd_w5"] = f"""
