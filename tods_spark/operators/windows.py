@@ -75,14 +75,19 @@ def _frame_agg(stat: str, v: Column, w, frame_w: int) -> Column:
     if stat == "gmean":
         # scipy.stats.gmean limit semantics when a zero is in the window:
         # log(0) = -inf -> exp(mean) = 0.0 (zeros appear in real buckets —
-        # sf0.1 exposed them; ANSI Spark would error on log(0))
+        # sf0.1 exposed them; ANSI Spark would error on log(0)). The CASE
+        # cannot short-circuit a window aggregate, so the INNER log is made
+        # total (zeros mapped to a dummy 1.0 the outer guard discards).
+        safe = F.when(v > 0, v).otherwise(F.lit(1.0))
         return F.when(F.min(v).over(w) <= 0, F.lit(0.0)).otherwise(
-            F.exp(F.avg(F.log(v)).over(w))
+            F.exp(F.avg(F.log(safe)).over(w))
         )
     if stat == "hmean":
-        # scipy.stats.hmean with a zero element: 1/0 = inf -> n/inf = 0.0
+        # scipy.stats.hmean with a zero element: 1/0 = inf -> n/inf = 0.0;
+        # same total-inner-expression trick as gmean
+        safe = F.when(v != 0, v).otherwise(F.lit(1.0))
         return F.when(F.min(v).over(w) <= 0, F.lit(0.0)).otherwise(
-            F.count(v).over(w) / F.sum(F.lit(1.0) / v).over(w)
+            F.count(v).over(w) / F.sum(F.lit(1.0) / safe).over(w)
         )
     if stat == "mean_temporal_derivative":
         # np.mean(np.diff(window)) == (last - first) / (w-1), telescoping

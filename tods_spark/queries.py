@@ -2612,13 +2612,15 @@ ORACLES["stat_variation_w5"] = _stat_sql(
 QUERIES["stat_gmean_w5"] = _mk_stat_query("gmean", 5)
 ORACLES["stat_gmean_w5"] = _stat_sql(
     "CASE WHEN min(v) OVER frame <= 0 THEN 0.0 ELSE "
-    "round(exp(avg(ln(v)) OVER frame) + 1e-9, 4) END", 5, "v_gmean"
+    "round(exp(avg(ln(CASE WHEN v > 0 THEN v ELSE 1.0 END)) OVER frame) "
+    "+ 1e-9, 4) END", 5, "v_gmean"
 )
 QUERIES["stat_hmean_w5"] = _mk_stat_query("hmean", 5)
 ORACLES["stat_hmean_w5"] = _stat_sql(
     "CASE WHEN min(v) OVER frame <= 0 THEN 0.0 ELSE "
-    "round(count(v) OVER frame / sum(1.0 / v) OVER frame + 1e-9, 4) END",
-    5, "v_hmean"
+    "round(count(v) OVER frame / "
+    "sum(1.0 / CASE WHEN v <> 0 THEN v ELSE 1.0 END) OVER frame "
+    "+ 1e-9, 4) END", 5, "v_hmean"
 )
 QUERIES["stat_matd_w5"] = _mk_stat_query("mean_abs_temporal_derivative", 5)
 ORACLES["stat_matd_w5"] = f"""
@@ -3382,7 +3384,7 @@ def pipeline_default_ae_q(spark, sf_dir):
 
 
 def _cblof_sql(w: int = 10, kc: int = 4, alpha: float = 0.9,
-               beta: float = 5.0, iters: int = 15,
+               beta: float = 5.0, iters: int = 50,
                contamination: float = 0.1) -> str:
     """DuckDB twin of the CBLOF core: Lloyd k-means runs as a per-group
     RECURSIVE CTE whose state is the centroid list (list<list<double>>) —
@@ -3390,9 +3392,12 @@ def _cblof_sql(w: int = 10, kc: int = 4, alpha: float = 0.9,
     can compute it), each step one correlated subquery that assigns every
     window to its first-argmin centroid (list_position(dl, list_min(dl))
     = numpy argmin first-wins) and re-averages. A fixed {iters}-iteration
-    unroll covers convergence (≤11 iterations on the registered data;
-    post-convergence steps are exact no-ops since assignments are
-    integer-stable at margins ≥0.25 vs fp noise ~1e-12). Then the α/β
+    unroll covers convergence — the default now matches the ENGINE's
+    _kmeans 50-iteration cap (round 4: sf0.1 groups converge in up to 45
+    Lloyd iterations; the earlier 15-step unroll under-iterated there and
+    mismatched 11.7% of rows). Post-convergence steps are exact no-ops
+    since assignments are integer-stable at margins ≥0.25 vs fp noise
+    ~1e-12. Then the α/β
     size-sorted large/small split (intersect-then-fallback via chained
     coalesce of min-ranks), own-vs-nearest-large-centroid scores, and
     rounded-pair labels. The kernel's empty-cluster reseed branch never
