@@ -83,7 +83,8 @@ def _ensure_parallelism(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     est_splits = len(files)
     try:
         sizes = [os.path.getsize(f.removeprefix("file:")) for f in files]
-        est_splits += sum(sizes) // (128 * 1024 * 1024)
+        split = 128 * 1024 * 1024
+        est_splits = sum(max(1, -(-s // split)) for s in sizes)
     except OSError:
         pass  # non-local URIs: file count remains the lower-bound estimate
     if est_splits < max(2, target // 2):
@@ -104,18 +105,25 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def shingle_table(df: DataFrame, id_col: str = "doc_id", col: str = "text",
-                  n: int = 3) -> DataFrame:
-    """(id, shingle) rows — DISTINCT word n-grams per doc."""
+def shingle_array(col: str, n: int = 3):
+    """Column expr: DISTINCT word n-gram shingles of a text column — the
+    ONE definition of "shingle" shared by the Jaccard path (exploded) and
+    the MinHash path (reduced in place), so they can never diverge."""
     w = words(col)
-    sh = F.array_distinct(
+    return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
         )
     )
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id", col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """(id, shingle) rows — DISTINCT word n-grams per doc."""
     df = _ensure_parallelism(df, id_col)
-    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    return df.select(F.col(id_col).alias("id"),
+                     F.explode(shingle_array(col, n)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -214,15 +222,13 @@ def minhash_signatures(
     first exchange in the whole LSH pipeline is the band-bucket join.
     (The previous explode+groupBy plan was already map-side partial, but
     it still paid the 10⁷-row explode and a 400k-row exchange at sf0.1;
-    values are bitwise-identical — same min over the same integer set.)"""
+    values are bitwise-identical — same min over the same integer set.)
+    One signature row is emitted PER INPUT ROW: `id_col` is the doc
+    table's key and assumed unique (the old groupBy silently merged
+    duplicate ids into one union-of-shingles signature; dedupe upstream
+    if the input can carry repeated ids)."""
     df = _ensure_parallelism(df, id_col)
-    w = words(col)
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-        )
-    )
+    shingles = shingle_array(col, n)
     base = (
         (lambda s: md5_h64(s)) if hash_fn == "md5"
         else (lambda s: F.xxhash64(s))

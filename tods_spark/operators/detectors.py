@@ -1050,9 +1050,8 @@ def vae_scores(x: np.ndarray, window_size: int, step: int = 1,
     d = Z.shape[1]
     _, s, vt = np.linalg.svd(Z, full_matrices=False)
     lam = (s**2) / max(m - 1, 1)
-    k = min(n_components, len(lam) - 1)
-    sigma2 = float(lam[k:].mean()) if k < len(lam) else 1e-6
-    sigma2 = max(sigma2, 1e-9)
+    k = min(n_components, len(lam) - 1)  # always < len(lam): lam[k:] nonempty
+    sigma2 = max(float(lam[k:].mean()), 1e-9)
     W = vt[:k].T * np.sqrt(np.maximum(lam[:k] - sigma2, 0.0))
     C = W @ W.T + sigma2 * np.eye(d)
     L = np.linalg.cholesky(C)

@@ -73,21 +73,29 @@ def _frame_agg(stat: str, v: Column, w, frame_w: int) -> Column:
     if stat == "mean_abs":
         return F.avg(F.abs(v)).over(w)
     if stat == "gmean":
-        # scipy.stats.gmean limit semantics when a zero is in the window:
+        # scipy.stats.gmean limit semantics: a zero in the window ->
         # log(0) = -inf -> exp(mean) = 0.0 (zeros appear in real buckets —
-        # sf0.1 exposed them; ANSI Spark would error on log(0)). The CASE
-        # cannot short-circuit a window aggregate, so the INNER log is made
-        # total (zeros mapped to a dummy 1.0 the outer guard discards).
+        # sf0.1 exposed them; ANSI Spark would error on log(0)); a
+        # NEGATIVE value -> nan (scipy emits nan with an invalid-value
+        # warning — 0.0 would silently fabricate a result). The CASE
+        # cannot short-circuit a window aggregate, so the INNER log is
+        # made total (non-positives mapped to a dummy 1.0 the outer
+        # guards discard).
         safe = F.when(v > 0, v).otherwise(F.lit(1.0))
-        return F.when(F.min(v).over(w) <= 0, F.lit(0.0)).otherwise(
-            F.exp(F.avg(F.log(safe)).over(w))
+        return (
+            F.when(F.min(v).over(w) < 0, F.lit(float("nan")))
+            .when(F.min(v).over(w) == 0, F.lit(0.0))
+            .otherwise(F.exp(F.avg(F.log(safe)).over(w)))
         )
     if stat == "hmean":
-        # scipy.stats.hmean with a zero element: 1/0 = inf -> n/inf = 0.0;
-        # same total-inner-expression trick as gmean
+        # scipy.stats.hmean: zero element -> 1/0 = inf -> n/inf = 0.0;
+        # negative element -> scipy raises ValueError — as an engine
+        # column that maps to nan, not an exception
         safe = F.when(v != 0, v).otherwise(F.lit(1.0))
-        return F.when(F.min(v).over(w) <= 0, F.lit(0.0)).otherwise(
-            F.count(v).over(w) / F.sum(F.lit(1.0) / safe).over(w)
+        return (
+            F.when(F.min(v).over(w) < 0, F.lit(float("nan")))
+            .when(F.min(v).over(w) == 0, F.lit(0.0))
+            .otherwise(F.count(v).over(w) / F.sum(F.lit(1.0) / safe).over(w))
         )
     if stat == "mean_temporal_derivative":
         # np.mean(np.diff(window)) == (last - first) / (w-1), telescoping

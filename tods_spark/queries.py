@@ -1719,12 +1719,15 @@ def holt_winters_auto_q(spark, sf_dir):
           _hw_auto_sql("2024-01-02", start_grid=SMOP.SMALL_STARTS,
                        max_iter=60))
 def holt_winters_auto_1d_q(spark, sf_dir):
-    """Driver-affordable twin of holt_winters_auto: IDENTICAL engine code
-    path (smoothing.holt_winters_auto — full 6-start Nelder-Mead) and the
-    IDENTICAL SQL optimizer replay, over the first-1-day series instead of
-    2 days so the DuckDB recursion fits the driver's per-query budget.
-    Registered so the driver gate finally earns the HW optimizer a
-    CORRECTNESS row (its 2-day sibling stays judge-verified tier)."""
+    """Driver-affordable sibling of holt_winters_auto: the SAME optimizer
+    code path (smoothing.holt_winters_auto → _nelder_mead → _hw_sse) with
+    a REDUCED search budget — first-1-day series, 2-start grid
+    (SMOP.SMALL_STARTS) and max_iter=60, mirrored exactly in the SQL
+    replay — so the DuckDB recursion fits the driver's per-query budget
+    (~8 s vs ~45 s). The driver row this earns verifies the optimizer
+    MECHANISM cross-engine at the reduced budget; the full 6-start/400-
+    iteration configuration stays judge-verified tier via its 2-day
+    sibling."""
     s = _series(spark, sf_dir).filter(
         F.col("window_start") < F.lit("2024-01-02").cast("timestamp")
     )
@@ -2611,13 +2614,15 @@ ORACLES["stat_variation_w5"] = _stat_sql(
 )
 QUERIES["stat_gmean_w5"] = _mk_stat_query("gmean", 5)
 ORACLES["stat_gmean_w5"] = _stat_sql(
-    "CASE WHEN min(v) OVER frame <= 0 THEN 0.0 ELSE "
+    "CASE WHEN min(v) OVER frame < 0 THEN 'NaN'::DOUBLE "
+    "WHEN min(v) OVER frame = 0 THEN 0.0 ELSE "
     "round(exp(avg(ln(CASE WHEN v > 0 THEN v ELSE 1.0 END)) OVER frame) "
     "+ 1e-9, 4) END", 5, "v_gmean"
 )
 QUERIES["stat_hmean_w5"] = _mk_stat_query("hmean", 5)
 ORACLES["stat_hmean_w5"] = _stat_sql(
-    "CASE WHEN min(v) OVER frame <= 0 THEN 0.0 ELSE "
+    "CASE WHEN min(v) OVER frame < 0 THEN 'NaN'::DOUBLE "
+    "WHEN min(v) OVER frame = 0 THEN 0.0 ELSE "
     "round(count(v) OVER frame / "
     "sum(1.0 / CASE WHEN v <> 0 THEN v ELSE 1.0 END) OVER frame "
     "+ 1e-9, 4) END", 5, "v_hmean"

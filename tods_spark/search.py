@@ -286,7 +286,10 @@ def tune_search(
             phase2.append({"config": trial_cfg, "hyperparams": hp,
                            "status": "ERRORED", "score": None, "rank": 1.0,
                            "error": f"{type(e).__name__}: {e}"})
-    phase2.sort(key=lambda r: r["rank"])
+    # errored trials sort strictly after every completed one (the rank
+    # sentinel 1.0 is an attainable completed rank — e.g. mode='min'
+    # with a metric value of exactly 1.0 — so status breaks the tie)
+    phase2.sort(key=lambda r: (r["status"] != "COMPLETED", r["rank"]))
     result["phase2"] = phase2
     top2 = next((r for r in phase2 if r["status"] == "COMPLETED"), None)
     if top2 is not None and (

@@ -52,15 +52,31 @@ def read_csv(
         opts["timestampNTZFormat"] = ts_format
     lines = spark.read.text(path)
     if header:
+        # probe one column PAST the schema arity: a line with extra
+        # trailing fields (e.g. a 3-column variant's header against a
+        # 2-column schema) must NOT be swallowed here — it belongs in the
+        # corrupt-record quarantine where the schema drift is visible
         hdr_schema = ", ".join(
-            f"`__h{i}__` string" for i in range(len(field_names))
+            f"`__h{i}__` string" for i in range(len(field_names) + 1)
         )
         hdr = F.from_csv("value", hdr_schema)
-        is_header = None
+        is_header = hdr.getField(f"__h{len(field_names)}__").isNull()
         for i, name in enumerate(field_names):
-            eq = F.trim(hdr.getField(f"__h{i}__")) == F.lit(name)
-            is_header = eq if is_header is None else (is_header & eq)
-        lines = lines.filter(~F.coalesce(is_header, F.lit(False)))
+            is_header = is_header & (
+                F.trim(hdr.getField(f"__h{i}__")) == F.lit(name)
+            )
+        # cheap short-circuit prefilter: codegen's && skips the header
+        # from_csv parse for lines that cannot be a header — one that
+        # must start with the first column name, a quote, or whitespace
+        # (the quoted/space variants the parsed comparison exists for)
+        probe = (
+            F.col("value").startswith(field_names[0])
+            | F.col("value").startswith('"')
+            | F.col("value").startswith(" ")
+        )
+        lines = lines.filter(
+            ~F.coalesce(probe & is_header, F.lit(False))
+        )
     parsed = lines.select(
         F.from_csv(
             "value", f"{schema}, `{CORRUPT_COL}` string", opts

@@ -150,19 +150,29 @@ class PartitionedTable:
         # of per-partition AND-conjunctions (NOT per-column isin sets: those
         # select the CROSS PRODUCT of values and dynamic overwrite would
         # silently rewrite untouched partitions outside the todo set)
-        def part_kv(p: str) -> dict[str, str]:
-            return dict(seg.partition("=")[::2] for seg in p.split(os.sep))
+        def part_kv(p: str) -> dict[str, str | None]:
+            # Hive escapes special chars as %XX and spells SQL NULL as
+            # __HIVE_DEFAULT_PARTITION__ — unescape so the filter and the
+            # nout join match the actual column values, not the dir names
+            from urllib.parse import unquote
 
-        conds = reduce(
-            lambda a, b: a | b,
-            [
-                reduce(
-                    lambda a, b: a & b,
-                    [F.col(c) == F.lit(v) for c, v in part_kv(p).items()],
-                )
-                for p in todo
-            ],
-        )
+            out = {}
+            for seg in p.split(os.sep):
+                col, _, val = seg.partition("=")
+                out[col] = (None if val == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(val))
+            return out
+
+        def part_cond(p: str):
+            return reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                    for c, v in part_kv(p).items()
+                ],
+            )
+
+        conds = reduce(lambda a, b: a | b, [part_cond(p) for p in todo])
         selected = df.filter(conds)
         # files per partition dir = ceil(THAT partition's bytes / target):
         # a per-partition salt modulus, broadcast-joined on the partition
@@ -183,8 +193,13 @@ class PartitionedTable:
             F.col("__nout__").cast("int"),
         )
         salted = selected.join(
-            F.broadcast(nout_df), on=self.partition_cols, how="inner"
-        ).withColumn(
+            F.broadcast(nout_df),
+            on=[
+                selected[c].eqNullSafe(nout_df[c])
+                for c in self.partition_cols
+            ],
+            how="inner",
+        ).drop(*[nout_df[c] for c in self.partition_cols]).withColumn(
             "__salt__",
             F.pmod(F.xxhash64(F.monotonically_increasing_id()),
                    F.col("__nout__").cast("bigint")),
