@@ -536,3 +536,27 @@ def test_dagmm_vae_detect_spark(spark):
                          contamination=0.02).toPandas()
         flagged = out[out.label == 1]
         assert ((flagged.left_ind <= 200) & (flagged.right_ind >= 200)).any(), method
+
+
+def test_sogaal_mogaal_flag_spike_and_are_deterministic():
+    """GAAL pair: repeated fits are bitwise identical (seeded numpy GAN,
+    full-batch Adam) and the spike window reaches the top of the
+    1 − D(x) score ranking."""
+    x = _series_with_spike()
+    for core in (DET.sogaal_scores, DET.mogaal_scores):
+        s, lefts = core(x, 12)
+        s2, _ = core(x, 12)
+        np.testing.assert_array_equal(s, s2)
+        top = lefts[np.argsort(s)[-6:]]
+        assert any(l <= 200 < l + 12 for l in top), core.__name__
+
+
+def test_sogaal_detect_spark(spark):
+    x = _series_with_spike()
+    pdf = pd.DataFrame({"timestamp": range(len(x)), "value": x})
+    sdf = spark.createDataFrame(pdf)
+    for method in ("sogaal", "mogaal"):
+        out = DET.detect(sdf, "value", method, window_size=12,
+                         contamination=0.02).toPandas()
+        flagged = out[out.label == 1]
+        assert ((flagged.left_ind <= 200) & (flagged.right_ind >= 200)).any(), method

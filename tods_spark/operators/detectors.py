@@ -1061,12 +1061,125 @@ def vae_scores(x: np.ndarray, window_size: int, step: int = 1,
     return nll, lefts
 
 
+def _gan_train(Z: np.ndarray, n_generators: int = 1, epochs: int = 30,
+               lr: float = 0.01, seed: int = 0) -> np.ndarray:
+    """Shared adversarial-training loop for the GAAL pair: ``n_generators``
+    seeded 2-layer MLP generators (uniform noise → relu hidden → linear
+    window space) against one shared 2-layer sigmoid discriminator
+    (hidden width ceil(sqrt(m)), mirroring pyod's create_discriminator
+    shape). Full-batch Adam, hand-written backprop, fixed epoch budget —
+    fully deterministic for a fixed seed. Returns D(x) ∈ (0,1) per row of
+    ``Z`` (probability the window looks like REAL data)."""
+    m, d = Z.shape
+    rng = np.random.default_rng(seed)
+    hd = max(2, int(np.ceil(np.sqrt(m))))
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def mk(shape, scale):
+        return rng.normal(0, scale, shape)
+
+    # discriminator: d -> hd relu -> 1 sigmoid
+    D = [mk((d, hd), 1 / np.sqrt(d)), np.zeros(hd),
+         mk((hd, 1), 1 / np.sqrt(hd)), np.zeros(1)]
+    # generators: d -> d relu -> d linear (pyod latent_size = data dim)
+    Gs = [[mk((d, d), 1 / np.sqrt(d)), np.zeros(d),
+           mk((d, d), 1 / np.sqrt(d)), np.zeros(d)]
+          for _ in range(n_generators)]
+    states = {id(p): (np.zeros_like(p), np.zeros_like(p))
+              for net in [D, *Gs] for p in net}
+
+    def adam(p, g, t):
+        mm, vv = states[id(p)]
+        mm += (1 - b1) * (g - mm)
+        vv += (1 - b2) * (g * g - vv)
+        p -= lr * (mm / (1 - b1**t)) / (np.sqrt(vv / (1 - b2**t)) + eps)
+
+    def d_forward(X):
+        H = np.maximum(X @ D[0] + D[1], 0.0)
+        p = 1.0 / (1.0 + np.exp(-(H @ D[2] + D[3])))
+        return H, p.ravel()
+
+    def g_forward(G, noise):
+        Hg = np.maximum(noise @ G[0] + G[1], 0.0)
+        return Hg, Hg @ G[2] + G[3]
+
+    n_fake = max(1, m // n_generators)
+    for ep in range(1, epochs + 1):
+        noises = [rng.uniform(0, 1, (n_fake, d)) for _ in Gs]
+        fakes = [g_forward(G, nz)[1] for G, nz in zip(Gs, noises)]
+        # --- discriminator step: real -> 1, generated -> 0 (BCE) ---
+        Xb = np.vstack([Z, *fakes])
+        yb = np.concatenate([np.ones(m), np.zeros(n_fake * len(Gs))])
+        H, p = d_forward(Xb)
+        dz2 = ((p - yb) / len(yb))[:, None]          # dBCE/dlogit
+        gW2, gb2 = H.T @ dz2, dz2.sum(0)
+        dH = (dz2 @ D[2].T) * (H > 0)
+        gW1, gb1 = Xb.T @ dH, dH.sum(0)
+        for p_, g_ in zip(D, [gW1, gb1, gW2.reshape(D[2].shape), gb2]):
+            adam(p_, g_, ep)
+        # --- generator steps: push D(G(z)) -> 1 through a FROZEN D ---
+        for G, nz in zip(Gs, noises):
+            Hg, fake = g_forward(G, nz)
+            Hd = np.maximum(fake @ D[0] + D[1], 0.0)
+            pd_ = 1.0 / (1.0 + np.exp(-(Hd @ D[2] + D[3]))).ravel()
+            dzD = ((pd_ - 1.0) / n_fake)[:, None]
+            dX = (dzD @ D[2].T) * (Hd > 0) @ D[0].T  # dBCE/dfake
+            gW2g, gb2g = Hg.T @ dX, dX.sum(0)
+            dHg = (dX @ G[2].T) * (Hg > 0)
+            gW1g, gb1g = nz.T @ dHg, dHg.sum(0)
+            for p_, g_ in zip(G, [gW1g, gb1g, gW2g, gb2g]):
+                adam(p_, g_, ep)
+    return d_forward(Z)[1]
+
+
+def sogaal_scores(x: np.ndarray, window_size: int, step: int = 1,
+                  epochs: int = 30, seed: int = 0) -> tuple:
+    """SO-GAAL core (PyodSoGaal.py:172 → pyod.models.so_gaal, Liu et al.
+    TKDE 2019 "Generative Adversarial Active Learning for Unsupervised
+    Outlier Detection"): a single generator learns to synthesize
+    potential outliers from uniform noise while a discriminator separates
+    them from the data; after training, windows the discriminator is
+    LEAST confident are real score highest. Re-derived as a seeded numpy
+    MLP pair with full-batch Adam (deterministic — the documented
+    deviation from the keras/SGD reference, same class as lstmod_scores);
+    score orientation follows the UODBase contract (higher = more
+    anomalous), i.e. 1 − D(x)."""
+    mat, lefts = _windows(x, window_size, step)
+    m = len(mat)
+    if m < 4:
+        return np.zeros(m), lefts
+    mu, sd = mat.mean(0), mat.std(0)
+    sd[sd == 0] = 1.0
+    return 1.0 - _gan_train((mat - mu) / sd, 1, epochs, seed=seed), lefts
+
+
+def mogaal_scores(x: np.ndarray, window_size: int, step: int = 1,
+                  n_generators: int = 3, epochs: int = 30,
+                  seed: int = 0) -> tuple:
+    """MO-GAAL core (PyodMoGaal.py:213 → pyod.models.mo_gaal): the
+    multi-objective variant fights mode collapse by training k
+    sub-generators against one shared discriminator, each with its own
+    noise stream, so the synthesized outliers cover multiple regions of
+    the data. Same deterministic numpy training harness as SO-GAAL
+    (_gan_train with k generator towers); score = 1 − D(x)."""
+    mat, lefts = _windows(x, window_size, step)
+    m = len(mat)
+    if m < 4:
+        return np.zeros(m), lefts
+    mu, sd = mat.mean(0), mat.std(0)
+    sd[sd == 0] = 1.0
+    k = max(1, min(n_generators, m // 2))
+    return 1.0 - _gan_train((mat - mu) / sd, k, epochs, seed=seed), lefts
+
+
 _CORES["ae"] = ae_scores
 _CORES["cblof"] = cblof_scores
 _CORES["cof"] = cof_scores
 _CORES["sod"] = sod_scores
 _CORES["dagmm"] = dagmm_scores
 _CORES["vae"] = vae_scores
+_CORES["sogaal"] = sogaal_scores
+_CORES["mogaal"] = mogaal_scores
 _QUADRATIC.add("cof")
 _QUADRATIC.add("sod")
 

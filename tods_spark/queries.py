@@ -3820,6 +3820,31 @@ def detect_lstmod_q(spark, sf_dir):
                       keys=["event_type", "day"], order_col="window_start")
 
 
+@register("detect_sogaal")  # rows-only: adversarial (GAN) training loop
+def detect_sogaal_q(spark, sf_dir):
+    """PyodSoGaal.py:172 — SO-GAAL (Liu et al., TKDE 2019): a generator
+    synthesizes potential outliers from uniform noise against a
+    discriminator; windows the trained discriminator is least confident
+    are real score highest (1 − D(x)). Re-derived as a seeded numpy MLP
+    pair with full-batch Adam (detectors.sogaal_scores) — deterministic,
+    but iterative adversarial training has no SQL expression; rows-only."""
+    s = _series_day(spark, sf_dir)
+    return DET.detect(s, "v", "sogaal", window_size=10,
+                      keys=["event_type", "day"], order_col="window_start")
+
+
+@register("detect_mogaal")  # rows-only: adversarial (GAN) training loop
+def detect_mogaal_q(spark, sf_dir):
+    """PyodMoGaal.py:213 — MO-GAAL: k sub-generators with independent
+    noise streams against one shared discriminator (mode-collapse
+    mitigation from the same paper); score = 1 − D(x)
+    (detectors.mogaal_scores, k=3). Rows-only for the same reason as
+    detect_sogaal."""
+    s = _series_day(spark, sf_dir)
+    return DET.detect(s, "v", "mogaal", window_size=10,
+                      keys=["event_type", "day"], order_col="window_start")
+
+
 @register("detect_telemanom")  # rows-only: LSTM residuals + dynamic threshold
 def detect_telemanom_q(spark, sf_dir):
     """Telemanom.py:264 — Hundman et al. 2018: LSTM forecast residuals
