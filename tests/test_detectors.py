@@ -560,3 +560,42 @@ def test_sogaal_detect_spark(spark):
                          contamination=0.02).toPandas()
         flagged = out[out.label == 1]
         assert ((flagged.left_ind <= 200) & (flagged.right_ind >= 200)).any(), method
+
+
+def test_gan_discriminator_backprop_matches_finite_differences():
+    """The hand-written BCE backprop used by detectors._gan_train's
+    discriminator step (transcribed expressions: dz2 = (p-y)/n, relu
+    mask, layer-1 chain) agrees with central finite differences of the
+    BCE loss to ~1e-9 — guards the gradient derivation itself, the part
+    a spike test can't distinguish from luck."""
+    rng = np.random.default_rng(3)
+    m, d, hd = 12, 4, 5
+    Z = rng.normal(0, 1, (m, d))
+    W1, b1 = rng.normal(0, 0.5, (d, hd)), rng.normal(0, 0.1, hd)
+    W2, b2 = rng.normal(0, 0.5, (hd, 1)), rng.normal(0, 0.1, 1)
+    y = np.concatenate([np.ones(m // 2), np.zeros(m - m // 2)])
+
+    def loss(W1, b1, W2, b2):
+        H = np.maximum(Z @ W1 + b1, 0.0)
+        p = 1.0 / (1.0 + np.exp(-(H @ W2 + b2).ravel()))
+        return -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
+
+    H = np.maximum(Z @ W1 + b1, 0.0)
+    p = 1.0 / (1.0 + np.exp(-(H @ W2 + b2).ravel()))
+    dz2 = ((p - y) / m)[:, None]
+    gW2 = H.T @ dz2
+    dH = (dz2 @ W2.T) * (H > 0)
+    gW1 = Z.T @ dH
+
+    eps = 1e-6
+    for G, W, setter in (
+        (gW1, W1, lambda Wv: loss(Wv, b1, W2, b2)),
+        (gW2, W2, lambda Wv: loss(W1, b1, Wv, b2)),
+    ):
+        num = np.zeros_like(W)
+        for idx in np.ndindex(W.shape):
+            Wp, Wm = W.copy(), W.copy()
+            Wp[idx] += eps
+            Wm[idx] -= eps
+            num[idx] = (setter(Wp) - setter(Wm)) / (2 * eps)
+        np.testing.assert_allclose(num, G, atol=1e-8)
