@@ -154,6 +154,15 @@ def main() -> None:
           "HashAggregate" not in sig_plan and "Generate" not in sig_plan
           and all("REPARTITION_BY_NUM" in ln for ln in exchanges))
 
+    # 14. doc_repetition (Gopher repetition signals) is a pure projection:
+    #     the n-gram stats run as sorted-array folds inside the scan stage —
+    #     no Exchange, no Generate (explode), no aggregation, no Python
+    rep_plan = QUERIES["doc_repetition"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    check("doc_repetition is a shuffle-free projection",
+          all(tok not in rep_plan
+              for tok in ("Exchange", "Generate", "HashAggregate",
+                          "BatchEvalPython")))
+
     bad = [n for n, ok in checks if not ok]
     print(f"\n{len(checks) - len(bad)}/{len(checks)} plan checks pass")
     if bad:

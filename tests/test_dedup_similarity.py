@@ -173,3 +173,57 @@ def test_lang_id_markers(spark):
     )
     out = TX.lang_id(spark.createDataFrame(pdf)).orderBy("doc_id").toPandas()
     assert list(out["lang_guess"]) == ["en", "fr", "und"]
+
+
+def test_repetition_signals_vs_python_replay(spark):
+    """Gopher-style repetition signals: the codegen sorted-array folds
+    agree with a direct Python computation on multi-line, repetitive,
+    and degenerate (one-word) documents, including the count-desc /
+    lexicographic tie-break for the top n-gram."""
+    import re
+    from collections import Counter
+
+    docs = [
+        (1, "a b a b a b c"),              # heavy 2-gram repetition
+        (2, "x\ny\nx\n\nz line\nline x"),  # duplicate lines + blanks
+        (3, "w"),                          # no n-grams
+        (4, "t u t u v u t"),              # tie on 2-gram counts
+        (5, "only unique words here now"),
+    ]
+
+    def replay(text):
+        w = [t for t in re.split(r"\s+", text.strip()) if t != ""]
+        lines = [l for l in text.split("\n") if l.strip() != ""]
+        out = {"n_words": len(w)}
+        dup_l = len(lines) - len(set(lines))
+        cnt_l = Counter(lines)
+        dupch = sum((c - 1) * len(l) for l, c in cnt_l.items())
+        tot_l = sum(len(l) for l in lines)
+        out["dup_line_frac"] = dup_l / len(lines) if lines else 0.0
+        out["dup_line_char_frac"] = dupch / max(tot_l, 1)
+        out["dup_word_frac"] = (len(w) - len(set(w))) / len(w) if w else 0.0
+
+        def grams(n):
+            return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)] \
+                if len(w) >= n else []
+
+        g2 = grams(2)
+        out["dup_2gram_frac"] = (
+            (len(g2) - len(set(g2))) / len(g2) if g2 else 0.0
+        )
+        for n, col in ((2, "top_2gram_char_frac"), (3, "top_3gram_char_frac")):
+            g = grams(n)
+            if g:
+                c = Counter(g)
+                best = min(sorted(c), key=lambda k: (-c[k], k))
+                out[col] = c[best] * len(best) / max(len(text), 1)
+            else:
+                out[col] = 0.0
+        return out
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = TX.repetition_signals(sdf).orderBy("doc_id").toPandas()
+    for _, row in got.iterrows():
+        exp = replay(dict(docs)[row.doc_id])
+        for k, v in exp.items():
+            assert abs(row[k] - v) < 1e-12, (row.doc_id, k, row[k], v)

@@ -96,3 +96,100 @@ def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(col)).withColumn(
         "fp_min_shingle", F.array_min(F.transform(shingles, F.md5))
     )
+
+
+def _ngrams(w, n: int):
+    """Word n-grams as space-joined strings: empty array below n words.
+    Pure expression — sequence + element_at, no explode."""
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_frac(arr):
+    """Fraction of occurrences beyond the first of each distinct element."""
+    return F.when(
+        F.size(arr) > 0,
+        (F.size(arr) - F.size(F.array_distinct(arr))) / F.size(arr),
+    ).otherwise(F.lit(0.0))
+
+
+def _top_run_chars(arr):
+    """count × length of the most frequent element (ties: the
+    lexicographically smallest, i.e. the first max run in sorted order —
+    the `>` comparison never replaces an equal best). Single linear fold
+    over the sorted array: no explode, no shuffle, whole-stage codegen."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("bestc"), F.lit(0).alias("bestl"),
+    )
+
+    def step(a, x):
+        run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+        better = run > a["bestc"]
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(a["bestc"]).alias("bestc"),
+            F.when(better, F.length(x)).otherwise(a["bestl"]).alias("bestl"),
+        )
+
+    res = F.aggregate(F.array_sort(arr), acc0, step)
+    return res["bestc"] * res["bestl"]
+
+
+def repetition_signals(df: DataFrame, col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
+    "repetition removal"; same rule family as NeMo-Curator / DataTrove
+    heuristic filters), re-expressed as PURE Catalyst expressions — one
+    scan, zero shuffles, codegen'd sorted-array folds per document:
+
+      * dup_line_frac       — duplicate-line occurrences / lines
+                              (lines split on \\n, blank lines dropped)
+      * dup_line_char_frac  — chars in those duplicate occurrences / line chars
+      * dup_word_frac       — duplicate-word occurrences / words
+      * dup_2gram_frac      — duplicate word-2-gram occurrences / 2-grams
+      * top_2gram_char_frac — count(top 2-gram) × len(top 2-gram) / len(text)
+      * top_3gram_char_frac — same for 3-grams
+
+    The top-n-gram numerator counts every occurrence at full gram length
+    (the DataTrove convention), so heavily overlapping repeats can push
+    the ratio past 1.0 — filter thresholds sit at ~0.2, far below. Ties
+    on the top count resolve to the lexicographically smallest n-gram on
+    both sides. Scale: per-doc fold cost is O(words · log words) inside
+    the scan stage — no doc²/doc-cardinality structure anywhere, so the
+    op runs at 100 TB as a plain projection."""
+    w = words(col)
+    lines = F.filter(
+        F.split(F.col(col), "\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    # duplicate-line chars: fold over the sorted lines; every element equal
+    # to its predecessor is an occurrence beyond the first
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("dupch"))
+    dup_line_chars = F.aggregate(
+        F.array_sort(lines), acc0,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["dupch"] + F.length(x))
+            .otherwise(a["dupch"]).alias("dupch"),
+        ),
+    )["dupch"]
+    g2, g3 = _ngrams(w, 2), _ngrams(w, 3)
+    nz = lambda d: F.greatest(d, F.lit(1))
+    doc_chars = F.length(col)
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("dup_line_frac", _dup_frac(lines))
+        .withColumn("dup_line_char_frac", dup_line_chars / nz(line_chars))
+        .withColumn("n_words", F.size(w))
+        .withColumn("dup_word_frac", _dup_frac(w))
+        .withColumn("dup_2gram_frac", _dup_frac(g2))
+        .withColumn("top_2gram_char_frac", _top_run_chars(g2) / nz(doc_chars))
+        .withColumn("top_3gram_char_frac", _top_run_chars(g3) / nz(doc_chars))
+    )

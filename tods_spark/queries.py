@@ -819,6 +819,70 @@ def doc_quality(spark, sf_dir):
 
 
 @register(
+    "doc_repetition",
+    rf"""
+WITH base AS (
+  SELECT doc_id, text, {_W_SQL} AS w FROM documents
+),
+g AS (
+  SELECT doc_id, text, w,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+              ELSE []::VARCHAR[] END AS g2,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE []::VARCHAR[] END AS g3
+  FROM base
+),
+g2top AS (
+  SELECT doc_id, cnt * length(gr) AS topchars FROM (
+    SELECT doc_id, gr, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, gr ASC) AS rn
+    FROM (SELECT doc_id, unnest(g2) AS gr FROM g) GROUP BY doc_id, gr)
+  WHERE rn = 1
+),
+g3top AS (
+  SELECT doc_id, cnt * length(gr) AS topchars FROM (
+    SELECT doc_id, gr, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, gr ASC) AS rn
+    FROM (SELECT doc_id, unnest(g3) AS gr FROM g) GROUP BY doc_id, gr)
+  WHERE rn = 1
+)
+SELECT g.doc_id,
+       len(w) AS n_words,
+       round((len(w) - len(list_distinct(w))) / len(w) + 1e-9, 4) + 0.0
+         AS dup_word_frac,
+       round(CASE WHEN len(g2) > 0
+                  THEN (len(g2) - len(list_distinct(g2))) / len(g2)
+                  ELSE 0.0 END + 1e-9, 4) + 0.0 AS dup_2gram_frac,
+       round(coalesce(g2top.topchars, 0) / greatest(length(text), 1) + 1e-9, 4)
+         + 0.0 AS top_2gram_char_frac,
+       round(coalesce(g3top.topchars, 0) / greatest(length(text), 1) + 1e-9, 4)
+         + 0.0 AS top_3gram_char_frac
+FROM g LEFT JOIN g2top USING (doc_id) LEFT JOIN g3top USING (doc_id)
+""",
+)
+def doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (text.repetition_signals): duplicate
+    word / 2-gram fractions and top-2/3-gram char fractions per document —
+    the repetition-removal rule family of Rae et al. 2021 §A1.1. Engine
+    side is a pure-projection sorted-array fold (no explode, no shuffle);
+    the twin replays the same stats relationally (unnest + GROUP BY +
+    row_number argmax with the identical count-desc/gram-asc tie-break)."""
+    out = TX.repetition_signals(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_words",
+        _r4("dup_word_frac").alias("dup_word_frac"),
+        _r4("dup_2gram_frac").alias("dup_2gram_frac"),
+        _r4("top_2gram_char_frac").alias("top_2gram_char_frac"),
+        _r4("top_3gram_char_frac").alias("top_3gram_char_frac"),
+    )
+
+
+@register(
     "doc_lang_guess",
     rf"""
 WITH base AS (
@@ -4089,7 +4153,7 @@ _DRIVER_WINDOW_FIRST = [
     #    rollup/gap-fill/dedup pipeline stays in-window, and
     #    holt_winters_auto_1d takes timeseries_split_5fold's slot (the
     #    split twin is 3x driver-green)
-    "rollup_1m", "rollup_1h_cascade", "rollup_1d_cascade", "resample_5m",
+    "rollup_1m", "rollup_1h_cascade", "rollup_1d_cascade", "doc_repetition",
     "rollup_quantiles_1h", "gap_fill_linear",
     "denormalize_revenue",
     "holt_winters_auto_1d", "contamination_threshold",
@@ -4100,7 +4164,8 @@ _DRIVER_WINDOW_FIRST = [
 # via scripts/check_oracle.py): stat_mean_w5, stat_median_w5,
 # moving_average_w3, segmentation_w4_s2, topk_per_type,
 # q1_pricing_summary, system_wise_scores, ensemble_binarize,
-# dedup_minute_avg, construct_predictions, rollup_var_1h, dedup_exact_groups
+# dedup_minute_avg, construct_predictions, rollup_var_1h, dedup_exact_groups,
+# resample_5m (3x driver-green; its slot goes to the new doc_repetition twin)
 
 
 def _reorder_registry() -> None:
