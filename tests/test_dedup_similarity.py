@@ -227,3 +227,31 @@ def test_repetition_signals_vs_python_replay(spark):
         exp = replay(dict(docs)[row.doc_id])
         for k, v in exp.items():
             assert abs(row[k] - v) < 1e-12, (row.doc_id, k, row[k], v)
+
+
+def test_tfidf_topk_vs_python_replay(spark):
+    """tfidf_topk matches a direct Counter-based replay (sklearn smoothed
+    idf), including the score-desc/word-asc tie-break."""
+    import math
+    from collections import Counter
+
+    docs = [(1, "cat dog cat fish"), (2, "dog dog bird"),
+            (3, "cat bird bird bird"), (4, "zebra")]
+    texts = dict(docs)
+    n_docs = len(docs)
+    dfreq = Counter()
+    for t in texts.values():
+        dfreq.update(set(t.split()))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = TX.tfidf_topk(sdf, k=2).orderBy("doc_id", "rank").toPandas()
+    for _, row in got.iterrows():
+        tf = Counter(texts[row.doc_id].split())
+        scored = sorted(
+            ((t * (math.log((n_docs + 1) / (dfreq[w] + 1)) + 1.0), w)
+             for w, t in tf.items()),
+            key=lambda p: (-p[0], p[1]),
+        )
+        exp_score, exp_word = scored[row["rank"] - 1]
+        assert row.word == exp_word, (row.doc_id, row["rank"])
+        assert abs(row.tfidf - exp_score) < 1e-12

@@ -193,3 +193,50 @@ def repetition_signals(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("top_2gram_char_frac", _top_run_chars(g2) / nz(doc_chars))
         .withColumn("top_3gram_char_frac", _top_run_chars(g3) / nz(doc_chars))
     )
+
+
+def tfidf_topk(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+               col: str = "text") -> DataFrame:
+    """Top-k TF-IDF keywords per document — the corpus-statistic join-back
+    pattern (keyword extraction / stopword discovery for pretraining
+    corpora). tf = in-doc term count; idf = ln((N+1)/(df+1)) + 1
+    (sklearn's smoothed convention); deterministic tie-break score desc,
+    then word asc.
+
+    Scale design (10⁹+ docs): term stats are VOCABULARY-keyed — the
+    explode feeds two partially-aggregated shuffles (tf on (doc, word),
+    df on word), so hot stopwords combine map-side instead of hot-keying
+    a reducer; N arrives as a broadcast single-row aggregate (no
+    driver-side collect, no global window); final top-k is a window over
+    doc_id — bounded partitions (words-per-doc), never corpus-wide."""
+    w = words(col)
+    tok = df.select(id_col, F.explode(w).alias("word")).filter(
+        F.col("word") != ""
+    )
+    tf = tok.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("word").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    n = df.select(F.countDistinct(id_col).alias("n_docs"))
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        tf.join(dfreq, "word")
+        .join(broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1.0),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(
+            F.col("tfidf").desc(), F.col("word").asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "word", "tf", "df", "tfidf")
+    )

@@ -883,6 +883,49 @@ def doc_repetition(spark, sf_dir):
 
 
 @register(
+    "doc_tfidf_top3",
+    rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_W_SQL}) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok WHERE word <> ''
+  GROUP BY doc_id, word
+),
+dfr AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM tok WHERE word <> ''
+  GROUP BY word
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+r AS (
+  SELECT tf.doc_id, tf.word, tf.tf, dfr.df,
+         tf.tf * (ln((n.n_docs + 1) / (dfr.df + 1)) + 1.0) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (ln((n.n_docs + 1) / (dfr.df + 1)) + 1.0) DESC,
+                    tf.word ASC) AS rank
+  FROM tf JOIN dfr USING (word) CROSS JOIN n
+)
+SELECT doc_id, rank, word, tf, df,
+       round(tfidf + 1e-9, 4) + 0.0 AS tfidf
+FROM r WHERE rank <= 3
+""",
+)
+def doc_tfidf_top3(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (text.tfidf_topk): corpus df/N
+    statistics joined back to per-doc term counts — sklearn's smoothed
+    idf ln((N+1)/(df+1))+1, tie-break score desc then word asc on both
+    sides. The vocabulary-keyed aggregations partial-combine map-side, N
+    arrives as a broadcast single-row aggregate, and the final top-k
+    window partitions by doc_id (bounded by words-per-doc)."""
+    out = TX.tfidf_topk(_docs(spark, sf_dir), k=3)
+    return out.select(
+        "doc_id", "rank", "word", "tf", "df",
+        _r4("tfidf").alias("tfidf"),
+    )
+
+
+@register(
     "doc_lang_guess",
     rf"""
 WITH base AS (
