@@ -255,3 +255,32 @@ def test_tfidf_topk_vs_python_replay(spark):
         exp_score, exp_word = scored[row["rank"] - 1]
         assert row.word == exp_word, (row.doc_id, row["rank"])
         assert abs(row.tfidf - exp_score) < 1e-12
+
+
+def test_ngram_contamination_planted(spark):
+    """Decontamination check: planted exact/partial/clean test docs get
+    the expected 3-gram hit fractions, short docs emit no row, and the
+    xxhash64-keyed scale path agrees with the string-keyed default."""
+    train = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # fully contained
+            (2, "alpha beta gamma zeta eta"),       # 1 of 3 grams hit
+            (3, "one two three four"),              # clean
+            (4, "xy zz"),                           # < 3 words: no row
+        ],
+        "doc_id long, text string",
+    )
+    for hash64 in (False, True):
+        out = (
+            DD.ngram_contamination(test, train, n=3, hash64=hash64)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        assert list(out.doc_id) == [1, 2, 3], hash64
+        assert list(out.n_grams) == [3, 3, 2]
+        assert list(out.n_hit) == [3, 1, 0]
+        assert abs(out.contamination_frac[1] - 1 / 3) < 1e-12

@@ -371,3 +371,52 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     return cand.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def ngram_contamination(
+    test: DataFrame,
+    train: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    col: str = "text",
+    hash64: bool = False,
+) -> DataFrame:
+    """Cross-corpus n-gram contamination (the decontamination check of
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" / GPT-3-style benchmark filtering): for each TEST document,
+    the fraction of its distinct word n-grams that appear anywhere in the
+    TRAIN corpus. Documents with fewer than ``n`` words emit no row.
+
+    Scale design (10⁹+ docs): the train side collapses to DISTINCT grams
+    (vocabulary-bounded, partial-agg map-side) and the probe is a
+    LEFT SEMI equi-join on the gram key — no pair explosion, no
+    doc-cardinality broadcast. ``hash64=True`` swaps the join key for
+    xxhash64(gram) to cut shuffle width at real scale (the md5/xxh64
+    split convention of minhash_lsh_candidates); the string-keyed default
+    is the cross-engine-twinnable path."""
+    from tods_spark.operators.text import _ngrams
+
+    def grams(df):
+        g = F.explode(
+            F.array_distinct(_ngrams(words(col), n))
+        ).alias("gram")
+        out = df.select(id_col, g)
+        if hash64:
+            out = out.withColumn("gram", F.xxhash64("gram"))
+        return out
+
+    tg = grams(test)
+    trg = grams(train).select("gram").distinct()
+    tot = tg.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hit = (
+        tg.join(trg, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        tot.join(hit, id_col, "left")
+        .fillna(0, ["n_hit"])
+        .withColumn(
+            "contamination_frac", F.col("n_hit") / F.col("n_grams")
+        )
+    )

@@ -926,6 +926,46 @@ def doc_tfidf_top3(spark, sf_dir):
 
 
 @register(
+    "contamination_3gram",
+    rf"""
+WITH d AS (
+  SELECT doc_id, source, {_W_SQL} AS w FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+  FROM d WHERE len(w) >= 3
+),
+tr AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE length(source) = 4),
+te AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE length(source) = 5)
+SELECT doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (gram IN (SELECT gram FROM tr)) AS n_hit,
+       round(count(*) FILTER (gram IN (SELECT gram FROM tr)) / count(*)
+             + 1e-9, 4) + 0.0 AS contamination_frac
+FROM te GROUP BY doc_id
+""",
+)
+def contamination_3gram(spark, sf_dir):
+    """Cross-corpus decontamination check (dedup.ngram_contamination, Lee
+    et al. 2022): per TEST document, the fraction of its distinct word
+    3-grams present anywhere in the TRAIN corpus. Train/test split by
+    source-name length (src0-src9 vs src10-src19) — deterministic and
+    identical on both engines. Train grams collapse to a
+    vocabulary-bounded DISTINCT; the probe is a left-semi equi-join on
+    the gram (no pair explosion)."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.length("source") == 4)
+    test = docs.filter(F.length("source") == 5)
+    out = DD.ngram_contamination(test, train, n=3)
+    return out.select(
+        "doc_id", "n_grams", "n_hit",
+        _r4("contamination_frac").alias("contamination_frac"),
+    )
+
+
+@register(
     "doc_lang_guess",
     rf"""
 WITH base AS (
