@@ -284,3 +284,28 @@ def test_ngram_contamination_planted(spark):
         assert list(out.n_grams) == [3, 3, 2]
         assert list(out.n_hit) == [3, 1, 0]
         assert abs(out.contamination_frac[1] - 1 / 3) < 1e-12
+
+
+def test_stratified_sample_and_pack_sequences(spark):
+    """Mixture sampling: exactly k per stratum (all rows when the stratum
+    is smaller), identical across repartitionings. Packing: start_offset
+    replays the per-key cumulative sum and bin = floor(start/budget)."""
+    from tods_spark.operators import preprocessing as PP
+
+    rows = [(i, f"s{i % 3}", 100 + 37 * (i % 5)) for i in range(20)]
+    rows.append((99, "tiny", 50))
+    sdf = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    got = PP.stratified_sample(sdf, 3, id_col="doc_id").toPandas()
+    counts = got.groupby("source").size().to_dict()
+    assert counts == {"s0": 3, "s1": 3, "s2": 3, "tiny": 1}
+    got2 = PP.stratified_sample(sdf.repartition(7), 3, id_col="doc_id").toPandas()
+    assert set(got.doc_id) == set(got2.doc_id)
+
+    packed = PP.pack_sequences(sdf, budget=400).orderBy("source", "doc_id").toPandas()
+    for src, grp in packed.groupby("source"):
+        cum = 0
+        for _, r in grp.iterrows():
+            assert r.start_offset == cum
+            assert r.pack_bin == cum // 400
+            cum += r.n_chars

@@ -110,3 +110,64 @@ def filter_nan_tail_columns(
             or (isinstance(row[c], float) and math.isnan(row[c]))
         ]
     return df.drop(*drop)
+
+
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic exactly-k-per-stratum sample — the data-mixture
+    selection step of a pretraining pipeline ("take k docs per source").
+    Selection order is md5(id) within each stratum: stable across runs,
+    partitionings, and engines (no RNG, no sample() nondeterminism).
+    Strata with fewer than k rows keep all rows.
+
+    Scale: one hash-partitioned window per stratum — rank state is
+    per-stratum, never global; a hot stratum is one reducer's sort of
+    its own rows (salt the stratum upstream if a single stratum exceeds
+    an executor)."""
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(
+            F.md5(F.col(id_col).cast("string")).asc(),
+            F.col(id_col).asc(),
+        )
+    )
+    return (
+        df.withColumn("sample_rank", rk)
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    len_col: str = "n_chars",
+    keys: tuple[str, ...] = ("source",),
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Token-stream packing: assign each document the training chunk its
+    stream offset falls in when documents are concatenated in
+    ``order_col`` order within each key group (GPT-style pretraining
+    packs one continuous stream per shard and cuts every ``budget``
+    tokens — bin = floor(start_offset / budget)). Emits the running
+    offset and bin id per document.
+
+    Scale: a running-sum window per key group — linear state, bounded by
+    the group (one source-shard), no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(len_col)).over(w)
+    start = (running - F.col(len_col)).cast("long")
+    return (
+        df.withColumn("start_offset", start)
+        .withColumn("pack_bin", F.floor(start / F.lit(budget)).cast("long"))
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tods_spark.operators import gapfill, rollup, segmentation, tokens, validation
+from tods_spark.operators import preprocessing as PP
 from tods_spark.operators import windows as WOP
 
 # --------------------------------------------------------------------------
@@ -963,6 +964,50 @@ def contamination_3gram(spark, sf_dir):
         "doc_id", "n_grams", "n_hit",
         _r4("contamination_frac").alias("contamination_frac"),
     )
+
+
+@register(
+    "stratified_sample_2",
+    """
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 2
+""",
+)
+def stratified_sample_2(spark, sf_dir):
+    """Deterministic data-mixture sampling (preprocessing.stratified_sample):
+    exactly k=2 docs per source, selected by md5(doc_id) rank — stable
+    across runs, partitionings, and engines (no RNG)."""
+    out = PP.stratified_sample(_docs(spark, sf_dir), k=2)
+    return out.select("doc_id", "source", "sample_rank")
+
+
+@register(
+    "pack_sequences_4k",
+    """
+SELECT doc_id, source, n_chars,
+       CAST(cum - n_chars AS BIGINT) AS start_offset,
+       CAST(floor((cum - n_chars) / 4096) AS BIGINT) AS pack_bin
+FROM (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+""",
+)
+def pack_sequences_4k(spark, sf_dir):
+    """Token-stream packing (preprocessing.pack_sequences): concatenate
+    each source's documents in doc_id order and cut the stream every
+    4096 chars — bin = floor(start_offset / budget), the GPT-style
+    pretraining chunk each document starts in. Running-sum window per
+    source group; no global ordering."""
+    out = PP.pack_sequences(_docs(spark, sf_dir), budget=4096)
+    return out.select("doc_id", "source", "n_chars",
+                      "start_offset", "pack_bin")
 
 
 @register(
