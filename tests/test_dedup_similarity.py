@@ -309,3 +309,25 @@ def test_stratified_sample_and_pack_sequences(spark):
             assert r.start_offset == cum
             assert r.pack_bin == cum // 400
             cum += r.n_chars
+
+
+def test_ann_ivf_recall_and_zero_shuffle_assignment(spark):
+    """IVF ANN: with enough probes the partitioned search returns the
+    exact brute-force top-k; the assignment stage plan contains no
+    Exchange (literal-centroid fold — pure projection)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from pyspark.sql import functions as F
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    exact = SIM.cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    # nprobe = nlist -> every list probed -> must equal the exact result
+    full = SIM.ann_topk_ivf(emb, q, k=5, nlist=4, nprobe=4).toPandas()
+    assert list(full.vec_id) == list(exact.vec_id)
+    # narrow probe keeps >= 3/5 of the exact set on this data
+    narrow = SIM.ann_topk_ivf(emb, q, k=5, nlist=4, nprobe=2).toPandas()
+    assert len(set(narrow.vec_id) & set(exact.vec_id)) >= 3
+    # assignment is shuffle-free
+    cent = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < 4).collect()]
+    plan = (SIM.ivf_assign(emb, cent)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -180,3 +180,83 @@ def cosine_near_pairs(
     return scored.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse-quantizer assignment: nearest centroid per vector by
+    ROUNDED (4 dp) cosine, ties to the smallest list id — rounding makes
+    the argmin stable across engines (the same convention every oracle
+    twin uses for ordering). The centroid table is inlined as LITERAL
+    struct arrays and the argmin is a single expression fold, so
+    assignment is a ZERO-SHUFFLE projection over the scan — exactly
+    FAISS's shape (centroids resident, one pass assigns); only the tiny
+    centroid list ever leaves the driver."""
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(int(cid)).alias("list_id"),
+            F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
+        )
+        for cid, cvec in centroids
+    ])
+    v = F.col(vec_col)
+
+    def ccos(c):
+        return F.round(
+            _dot(v, c["cvec"]) / (_norm(v) * _norm(c["cvec"])) + F.lit(1e-9),
+            4,
+        )
+
+    acc0 = F.struct(
+        F.lit(float("-inf")).alias("best"), F.lit(-1).alias("list_id")
+    )
+    best = F.aggregate(
+        cent_arr,
+        acc0,
+        lambda a, c: F.when(
+            ccos(c) > a["best"],
+            F.struct(ccos(c).alias("best"), c["list_id"].alias("list_id")),
+        ).otherwise(a),
+    )
+    return df.withColumn("list_id", best["list_id"])
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) coarse partition — the second
+    scale path next to ann_topk_lsh: assign every vector to its nearest
+    of ``nlist`` centroids, then rank ONLY the vectors in the query's
+    ``nprobe`` closest lists. Centroids here are the first ``nlist``
+    vectors by id — a deterministic, twin-replayable stand-in for the
+    k-means training step (real deployments train them offline; the
+    partition/probe mechanics this op demonstrates are identical).
+    Probe selection reuses cosine_topk_bruteforce over the nlist-row
+    centroid table, so probe ordering follows the same rounded-cosine /
+    id convention as assignment."""
+    cent_df = df.filter(F.col(id_col) < nlist).select(
+        F.col(id_col).alias("list_id"), F.col(vec_col).alias("cvec")
+    )
+    # bounded collect: nlist rows (the coarse codebook is metadata-sized)
+    centroids = [
+        (int(r["list_id"]), [float(x) for x in r["cvec"]])
+        for r in cent_df.collect()
+    ]
+    probe_df = cosine_topk_bruteforce(
+        cent_df.withColumnRenamed("cvec", vec_col),
+        query_vec, k=nprobe, id_col="list_id", vec_col=vec_col,
+    )
+    probe_ids = [int(r["list_id"]) for r in probe_df.collect()]  # nprobe rows
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("list_id").isin(probe_ids))
+    return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)

@@ -1250,6 +1250,69 @@ def ann_cosine_top5(spark, sf_dir):
     return SIM.cosine_topk_bruteforce(emb, qvec, k=5)
 
 
+@register(
+    "ann_cosine_top5_ivf",
+    """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+cent AS (SELECT vec_id AS list_id, embedding AS cvec
+         FROM embeddings WHERE vec_id < 8),
+a AS (
+  SELECT e.vec_id, c.list_id,
+         unnest(e.embedding) AS x, unnest(c.cvec) AS y
+  FROM embeddings e CROSS JOIN cent c
+),
+s AS (
+  SELECT vec_id, list_id,
+         round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+               + 1e-9, 4) + 0.0 AS ccos
+  FROM a GROUP BY 1, 2
+),
+asg AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, list_id) AS rn
+    FROM s) WHERE rn = 1
+),
+probe AS (SELECT list_id FROM s WHERE vec_id = 0
+          ORDER BY ccos DESC, list_id LIMIT 2),
+z AS (
+  SELECT vec_id, unnest(embedding) AS x, unnest((SELECT e FROM q)) AS y
+  FROM embeddings
+  WHERE vec_id IN (SELECT vec_id FROM asg
+                   WHERE list_id IN (SELECT list_id FROM probe))
+),
+s2 AS (
+  SELECT vec_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+         sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+  FROM z GROUP BY 1
+),
+r AS (
+  SELECT vec_id, round(dot / (na * nb) + 1e-9, 4) + 0.0 AS cosine,
+         row_number() OVER (ORDER BY round(dot / (na * nb) + 1e-9, 4) DESC,
+                            vec_id) AS rk
+  FROM s2
+)
+SELECT vec_id, cosine, rk FROM r WHERE rk <= 5
+""",
+)
+def ann_cosine_top5_ivf(spark, sf_dir):
+    """IVF-partitioned ANN (similarity.ann_topk_ivf): nlist=8 coarse
+    centroids (first 8 vectors — the deterministic stand-in for k-means
+    training), zero-shuffle literal-centroid assignment by rounded
+    cosine (ties to smallest list id), probe the query's nprobe=2
+    closest lists, exact top-5 within the candidates. The twin replays
+    assignment relationally (cross join + row_number argmin with the
+    identical rounded-cosine/list-id ordering)."""
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.ann_topk_ivf(emb, qvec, k=5, nlist=8, nprobe=2)
+
+
 # EMB_DIM is a property of the driver's embeddings table (TESTDATA.md);
 # the oracle SQL inlines hyperplane constants, so it is fixed per schema.
 _EMB_DIM = 64
