@@ -133,11 +133,15 @@ def main() -> None:
             else:
                 s_hi, s_lo = _timed(p_hi), _timed(p_lo)
             eff = (points / s_hi) / (points / s_lo) / factor
+            # 1-min load average per pair: degraded-host sessions (round-4
+            # F/G: idle load 0.3→16 with zero owned processes) must be
+            # separable at a glance when reading the record
             per_pair.append({
                 "pair": i, "sec_lo": round(s_lo, 3), "sec_hi": round(s_hi, 3),
                 "pps_lo": round(points / s_lo, 1),
                 "pps_hi": round(points / s_hi, 1),
                 "efficiency": round(eff, 3),
+                "load1": round(os.getloadavg()[0], 2),
             })
             print(json.dumps(per_pair[-1]), flush=True)
         for p in (p_lo, p_hi):
@@ -163,6 +167,7 @@ def main() -> None:
         "target": 0.8,
         "pass_best": best >= 0.8,
         "pass_median": statistics.median(effs) >= 0.8,
+        "load1_per_pair": [r["load1"] for r in per_pair],
     }
     print(json.dumps(summary))
 

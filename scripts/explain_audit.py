@@ -5,9 +5,22 @@ whole-stage codegen around window stats. Run: python scripts/explain_audit.py
 
 from __future__ import annotations
 
+import re as _re
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+
+def _window_partition_keys(spec_args: str) -> list[str]:
+    """Partition columns of a windowspecdefinition(...) argument list: the
+    leading bare column refs before the first ordered (ASC/DESC) or frame
+    argument, attribute ids stripped."""
+    keys = []
+    for a in (x.strip() for x in spec_args.split(",")):
+        if "ASC" in a or "DESC" in a or "specifiedwindowframe" in a:
+            break
+        keys.append(_re.sub(r"#\d+L?", "", a))
+    return keys
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -120,8 +133,6 @@ def main() -> None:
     #     event_type alone (that key grows m linearly with retention)
     plan = QUERIES["detect_knn"](spark, SF)._jdf.queryExecution(
     ).executedPlan().toString()
-    import re as _re
-
     # the grouped-map exchange (the one feeding FlatMapGroupsInPandas) must
     # hash on day; the upstream 1m-rollup exchange hashes on the window
     exch = [line for line in plan.splitlines()
@@ -162,6 +173,84 @@ def main() -> None:
           all(tok not in rep_plan
               for tok in ("Exchange", "Generate", "HashAggregate",
                           "BatchEvalPython")))
+
+    # 15. pack_sequences is the two-phase prefix sum (round 5): the raw-scan
+    #     running-sum window must partition by (source, _pb bucket) — never
+    #     source alone — and the only source-alone window (the bucket-offset
+    #     prefix scan) must sit above the HashAggregate that reduced the
+    #     corpus to one row per bucket, under a BroadcastExchange
+    pk_plan = QUERIES["pack_sequences_4k"](spark, SF)._jdf.queryExecution(
+    ).executedPlan().toString()
+    pk_lines = pk_plan.splitlines()
+    bucketed = any("windowspecdefinition" in ln and "source" in ln
+                   and "_pb" in ln for ln in pk_lines)
+    src_only_ok = True
+    for i, ln in enumerate(pk_lines):
+        m = _re.search(r"windowspecdefinition\(([^)]*)\)", ln)
+        if not m:
+            continue
+        pkeys = _window_partition_keys(m.group(1))
+        if pkeys == ["source"]:
+            sub = "\n".join(pk_lines[i:i + 15])
+            src_only_ok = src_only_ok and "HashAggregate" in sub
+    check("pack_sequences windows bucket the order key (no per-source sort "
+          "of raw rows)", bucketed and src_only_ok)
+    check("pack_sequences bucket offsets are broadcast",
+          "BroadcastHashJoin" in pk_plan)
+
+    # 16. stratified_sample is the two-phase top-k (round 5): the per-source
+    #     rank runs over phase-1 survivors only (Filter on the salted local
+    #     rank below it), and Spark's rank-limit pushdown additionally
+    #     bounds every exchange input map-side (WindowGroupLimit Partial)
+    ss_plan = QUERIES["stratified_sample_2"](spark, SF)._jdf.queryExecution(
+    ).executedPlan().toString()
+    check("stratified_sample per-source rank sees only salted-phase "
+          "survivors",
+          bool(_re.search(r"Filter \(_lrk#\d+ <= \d+\)", ss_plan))
+          and "WindowGroupLimit" in ss_plan
+          and ", Partial" in ss_plan)
+
+    # 17. GLOBAL unbounded-key window scan (round 5): no registered query
+    #     may plan a Window partitioned by a subset of {source} (incl. the
+    #     empty global partition) unless its subtree shows the input is
+    #     already cardinality-bounded — an aggregation (HashAggregate), a
+    #     rank-limit pushdown (WindowGroupLimit), a top-k
+    #     (TakeOrderedAndProject / Limit), or a local-rank filter. This is
+    #     the class that produced both round-4 weak marks; the scan makes
+    #     reintroducing one a hard audit failure.
+    ALLOW = {
+        # global CDF is the operator's semantics (percent_rank over the
+        # full column) — a single total-order sort is inherent to
+        # QuantileTransformer, documented in decompose.py
+        "quantile_transform_value",
+    }
+    offenders: list[str] = []
+    for qname, qfn in QUERIES.items():
+        if qname in ALLOW:
+            continue
+        try:
+            qplan = qfn(spark, SF)._jdf.queryExecution(
+            ).executedPlan().toString()
+        except Exception as e:  # a broken query is its own audit failure
+            offenders.append(f"{qname} (plan error: {e})")
+            continue
+        qlines = qplan.splitlines()
+        for i, ln in enumerate(qlines):
+            m = _re.search(r"windowspecdefinition\(([^)]*)\)", ln)
+            if not m:
+                continue
+            pkeys = _window_partition_keys(m.group(1))
+            if set(pkeys) <= {"source"}:
+                sub = "\n".join(qlines[i:i + 25])
+                bounded = any(tok in sub for tok in (
+                    "HashAggregate", "WindowGroupLimit",
+                    "TakeOrderedAndProject", "GlobalLimit", "LocalLimit",
+                )) or _re.search(r"Filter \(_lrk#\d+ <=", sub)
+                if not bounded:
+                    offenders.append(f"{qname} [{','.join(pkeys) or 'GLOBAL'}]")
+    check("no registered query windows over an unbounded key "
+          f"({len(QUERIES) - len(ALLOW)} plans scanned)",
+          not offenders, "; ".join(offenders[:3]))
 
     bad = [n for n, ok in checks if not ok]
     print(f"\n{len(checks) - len(bad)}/{len(checks)} plan checks pass")

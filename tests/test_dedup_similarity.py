@@ -331,3 +331,29 @@ def test_ann_ivf_recall_and_zero_shuffle_assignment(spark):
     plan = (SIM.ivf_assign(emb, cent)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ann_ivf_trained_codebook(spark):
+    """The IVF codebook is a real trained k-means: deterministic across
+    calls and input partitionings, list_ids sorted 0..k-1, and Lloyd
+    iterations actually move the centroids off the strided init."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb1 = SIM.kmeans_codebook(emb, nlist=4, train_n=32, iters=10)
+    cb2 = SIM.kmeans_codebook(emb.repartition(7), nlist=4, train_n=32,
+                              iters=10)
+    assert [c for c, _ in cb1] == [0, 1, 2, 3]  # sorted, dense list ids
+    assert cb1 == cb2  # partitioning-invariant (bounded ordered sample)
+    init = SIM.kmeans_codebook(emb, nlist=4, train_n=32, iters=0)
+    moved = [
+        float(np.linalg.norm(np.array(a[1]) - np.array(b[1])))
+        for a, b in zip(init, cb1)
+    ]
+    assert any(m > 1e-6 for m in moved)  # training isn't a no-op
+    # trained codebook still answers: full probe == exact brute force
+    from pyspark.sql import functions as F
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 2).first()["embedding"]]
+    exact = SIM.cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    full = SIM.ann_topk_ivf(emb, q, k=5, nlist=4, nprobe=4).toPandas()
+    assert list(full.vec_id) == list(exact.vec_id)

@@ -117,6 +117,7 @@ def stratified_sample(
     k: int,
     strata_col: str = "source",
     id_col: str = "doc_id",
+    n_salt: int = 64,
 ) -> DataFrame:
     """Deterministic exactly-k-per-stratum sample — the data-mixture
     selection step of a pretraining pipeline ("take k docs per source").
@@ -124,21 +125,38 @@ def stratified_sample(
     partitionings, and engines (no RNG, no sample() nondeterminism).
     Strata with fewer than k rows keep all rows.
 
-    Scale: one hash-partitioned window per stratum — rank state is
-    per-stratum, never global; a hot stratum is one reducer's sort of
-    its own rows (salt the stratum upstream if a single stratum exceeds
-    an executor)."""
+    Scale (two-phase top-k, TakeOrderedAndProject-style): a naive
+    row_number over Window.partitionBy(strata) sorts a whole stratum on
+    ONE reducer — with the engine's 70%-heavy ``source`` key that is
+    0.7·corpus through a single task (the rollup "skew bomb",
+    rollup.py:20-23). Instead phase 1 ranks within (stratum, salt) —
+    ``n_salt`` bounded partitions per stratum, each keeping only its k
+    smallest md5 ranks — and phase 2 re-ranks the ≤ k·n_salt survivors
+    per stratum. The per-salt top-k of each stratum is a superset of its
+    global top-k, so the selection (and the emitted ``sample_rank``,
+    which phase 2 recomputes over survivors) is EXACTLY the global
+    md5-rank semantics; only the heavy sort is gone. Phase-2 state is
+    k·n_salt rows per stratum — metadata-sized at any corpus scale."""
     from pyspark.sql import Window
 
-    rk = F.row_number().over(
-        Window.partitionBy(strata_col).orderBy(
-            F.md5(F.col(id_col).cast("string")).asc(),
-            F.col(id_col).asc(),
-        )
+    order = [
+        F.md5(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),
+    ]
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salt))
+    local_rk = F.row_number().over(
+        Window.partitionBy(strata_col, "_salt").orderBy(*order)
     )
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_lrk", local_rk)
+        .filter(F.col("_lrk") <= k)
+    )
+    rk = F.row_number().over(Window.partitionBy(strata_col).orderBy(*order))
     return (
-        df.withColumn("sample_rank", rk)
+        survivors.withColumn("sample_rank", rk)
         .filter(F.col("sample_rank") <= k)
+        .drop("_salt", "_lrk")
     )
 
 
@@ -148,26 +166,59 @@ def pack_sequences(
     len_col: str = "n_chars",
     keys: tuple[str, ...] = ("source",),
     order_col: str = "doc_id",
+    bucket_width: int = 1 << 20,
 ) -> DataFrame:
     """Token-stream packing: assign each document the training chunk its
     stream offset falls in when documents are concatenated in
     ``order_col`` order within each key group (GPT-style pretraining
     packs one continuous stream per shard and cuts every ``budget``
     tokens — bin = floor(start_offset / budget)). Emits the running
-    offset and bin id per document.
+    offset and bin id per document. ``order_col`` must be numeric (the
+    engine contract: dense int64 doc ids) so contiguous id ranges form
+    order-preserving buckets.
 
-    Scale: a running-sum window per key group — linear state, bounded by
-    the group (one source-shard), no global ordering anywhere."""
+    Scale (two-phase distributed prefix sum): a running-sum window over
+    Window.partitionBy(keys) alone funnels the whole key group through
+    ONE reducer's sort — fatal on the 70%-heavy ``source``. Instead:
+    stage 1 computes the within-bucket running sum per
+    (keys, floor(order/bucket_width)) — bounded partitions of ≤
+    bucket_width docs each, parallel across the hot source; stage 2
+    aggregates one total per bucket (map-side combined), prefix-scans
+    the bucket-totals table (tiny: id_range/bucket_width rows per key —
+    ~10^6 at 10^12 docs with the default width) and broadcast-joins each
+    bucket's starting offset back. start = bucket_offset +
+    within_bucket_running − len. Identical output to the single-window
+    form; no sort anywhere exceeds bucket_width rows."""
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(*keys)
+    bucket = F.floor(F.col(order_col) / F.lit(bucket_width)).cast("long")
+    base = df.withColumn("_pb", bucket)
+    w_in = (
+        Window.partitionBy(*keys, "_pb")
         .orderBy(F.col(order_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = F.sum(F.col(len_col)).over(w)
-    start = (running - F.col(len_col)).cast("long")
+    base = base.withColumn(
+        "_run_in", F.sum(F.col(len_col)).over(w_in).cast("long")
+    )
+    totals = base.groupBy(*keys, "_pb").agg(
+        F.sum(len_col).cast("long").alias("_bt")
+    )
+    w_pre = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_pb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_boff", F.coalesce(F.sum("_bt").over(w_pre), F.lit(0)).cast("long")
+    ).drop("_bt")
+    out = base.join(F.broadcast(offsets), [*keys, "_pb"])
+    start = (F.col("_boff") + F.col("_run_in") - F.col(len_col)).cast("long")
     return (
-        df.withColumn("start_offset", start)
-        .withColumn("pack_bin", F.floor(start / F.lit(budget)).cast("long"))
+        out.withColumn("start_offset", start)
+        .withColumn(
+            "pack_bin",
+            F.floor(F.col("start_offset") / F.lit(budget)).cast("long"),
+        )
+        .drop("_pb", "_run_in", "_boff")
     )

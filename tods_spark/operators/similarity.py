@@ -225,6 +225,50 @@ def ivf_assign(
     return df.withColumn("list_id", best["list_id"])
 
 
+def kmeans_codebook(
+    df: DataFrame,
+    nlist: int = 8,
+    train_n: int = 128,
+    iters: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Train the IVF coarse codebook: seeded deterministic Lloyd k-means
+    over a BOUNDED sample (the first ``train_n`` ids — dense int ids are
+    the engine contract; at real scale any deterministic bounded sample
+    works, the codebook never needs more than O(10^5) training rows).
+    Strided init centroid c = sample[(c*m)//k] — the same deterministic
+    init the CBLOF twin already replays in SQL — then ``iters`` fixed
+    Lloyd steps: assign by ROUNDED (4 dp, +1e-9 nudge) cosine with ties
+    to the smallest list id (np.argmax first-wins == the twin's
+    list_position-of-max), update = float64 elementwise mean of assigned
+    vectors, empty cluster keeps its previous centroid. Fixed iteration
+    count (not a convergence test) so the DuckDB twin can unroll the
+    identical recursion. Returns centroids sorted by list_id — the
+    deterministic ordering ivf_assign's first-max tie-break requires."""
+    rows = (
+        df.filter(F.col(id_col) < train_n)
+        .select(id_col, vec_col)
+        .collect()
+    )  # bounded collect: <= train_n rows (codebook training sample)
+    rows.sort(key=lambda r: r[id_col])
+    x = np.array([[float(v) for v in r[vec_col]] for r in rows],
+                 dtype=np.float64)
+    m = x.shape[0]
+    k = min(nlist, m)
+    cent = x[[(c * m) // k for c in range(k)]].copy()
+    xn = np.sqrt((x * x).sum(axis=1))
+    for _ in range(iters):
+        cn = np.sqrt((cent * cent).sum(axis=1))
+        cos = np.round(x @ cent.T / (xn[:, None] * cn[None, :]) + 1e-9, 4)
+        assign = cos.argmax(axis=1)  # first max -> smallest list id
+        for c in range(k):
+            pts = x[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+    return [(c, [float(v) for v in cent[c]]) for c in range(k)]
+
+
 def ann_topk_ivf(
     df: DataFrame,
     query_vec: list[float],
@@ -233,30 +277,28 @@ def ann_topk_ivf(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_n: int = 128,
+    iters: int = 20,
 ) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) coarse partition — the second
-    scale path next to ann_topk_lsh: assign every vector to its nearest
-    of ``nlist`` centroids, then rank ONLY the vectors in the query's
-    ``nprobe`` closest lists. Centroids here are the first ``nlist``
-    vectors by id — a deterministic, twin-replayable stand-in for the
-    k-means training step (real deployments train them offline; the
-    partition/probe mechanics this op demonstrates are identical).
-    Probe selection reuses cosine_topk_bruteforce over the nlist-row
-    centroid table, so probe ordering follows the same rounded-cosine /
-    id convention as assignment."""
-    cent_df = df.filter(F.col(id_col) < nlist).select(
-        F.col(id_col).alias("list_id"), F.col(vec_col).alias("cvec")
-    )
-    # bounded collect: nlist rows (the coarse codebook is metadata-sized)
-    centroids = [
-        (int(r["list_id"]), [float(x) for x in r["cvec"]])
-        for r in cent_df.collect()
-    ]
-    probe_df = cosine_topk_bruteforce(
-        cent_df.withColumnRenamed("cvec", vec_col),
-        query_vec, k=nprobe, id_col="list_id", vec_col=vec_col,
-    )
-    probe_ids = [int(r["list_id"]) for r in probe_df.collect()]  # nprobe rows
+    scale path next to ann_topk_lsh: train a ``nlist``-centroid codebook
+    (kmeans_codebook — deterministic strided-init Lloyd over a bounded
+    sample), assign every vector to its nearest centroid, then rank ONLY
+    the vectors in the query's ``nprobe`` closest lists. Probe selection
+    scores the query against the nlist-row codebook driver-side with the
+    same rounded-cosine / smallest-list-id convention as assignment
+    (FAISS's shape: the codebook is metadata, only vector scans
+    distribute)."""
+    centroids = kmeans_codebook(df, nlist, train_n, iters, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+    scored = []
+    for cid, cvec in centroids:
+        c = np.asarray(cvec, dtype=np.float64)
+        ccos = float(np.round(
+            q @ c / (qn * np.sqrt((c * c).sum())) + 1e-9, 4))
+        scored.append((-ccos, cid))
+    probe_ids = [cid for _, cid in sorted(scored)[:nprobe]]
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     cand = assigned.filter(F.col("list_id").isin(probe_ids))
     return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)

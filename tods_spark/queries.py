@@ -1250,24 +1250,70 @@ def ann_cosine_top5(spark, sf_dir):
     return SIM.cosine_topk_bruteforce(emb, qvec, k=5)
 
 
-@register(
-    "ann_cosine_top5_ivf",
-    """
-WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
-cent AS (SELECT vec_id AS list_id, embedding AS cvec
-         FROM embeddings WHERE vec_id < 8),
-a AS (
-  SELECT e.vec_id, c.list_id,
-         unnest(e.embedding) AS x, unnest(c.cvec) AS y
-  FROM embeddings e CROSS JOIN cent c
+def _ivf_kmeans_sql(d: int = 64, nlist: int = 8, train_n: int = 128,
+                    iters: int = 20, k: int = 5, nprobe: int = 2) -> str:
+    """DuckDB twin of the TRAINED-codebook IVF path: Lloyd k-means as a
+    recursive CTE whose state is the centroid list (the CBLOF pattern,
+    _cblof_sql) — strided init sample[(c*m)//k] over the first train_n
+    vec_ids (dense ids: the i-th sample row IS vec_id i), each step
+    assigns every sample vector by ROUNDED (4 dp, +1e-9) cosine with
+    list_position-of-max first-wins (= numpy argmax smallest-list-id
+    ties), re-averages elementwise in float64, and an empty cluster
+    keeps its old centroid via the range-LEFT JOIN-coalesce. A fixed
+    {iters}-step unroll mirrors the engine's fixed iteration count
+    exactly. Then assignment / probe / exact top-k replay the engine's
+    rounded-cosine conventions relationally."""
+    avgs = ", ".join(f"avg(x[{j + 1}])" for j in range(d))
+    return f"""
+WITH RECURSIVE samp AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+  FROM embeddings WHERE vec_id < {train_n}
 ),
+meta AS MATERIALIZED (
+  SELECT count(*) AS m, least({nlist}, count(*)) AS kk FROM samp
+),
+km AS (
+  SELECT 0 AS it,
+         (SELECT list(s.x ORDER BY s.vec_id) FROM samp s
+          WHERE EXISTS (SELECT 1 FROM range({nlist}) r(c), meta
+                        WHERE r.c < meta.kk
+                          AND (r.c * meta.m) // meta.kk = s.vec_id)) AS cent
+  UNION ALL
+  SELECT km.it + 1,
+         (SELECT list(coalesce(nc.nx, km.cent[r.c + 1]) ORDER BY r.c)
+          FROM range({nlist}) r(c)
+          LEFT JOIN (
+            SELECT cl, [{avgs}] AS nx
+            FROM (
+              SELECT x, list_position(cs, list_max(cs)) - 1 AS cl
+              FROM (
+                SELECT x,
+                       list_transform(km.cent, cv ->
+                         round(list_dot_product(x, cv)
+                               / (sqrt(list_dot_product(x, x))
+                                  * sqrt(list_dot_product(cv, cv)))
+                               + 1e-9, 4)) AS cs
+                FROM samp)
+            ) GROUP BY cl
+          ) nc ON nc.cl = r.c
+          WHERE r.c + 1 <= len(km.cent))
+  FROM km WHERE km.it < {iters}
+),
+fin AS MATERIALIZED (SELECT cent FROM km WHERE it = {iters}),
+cent AS MATERIALIZED (
+  SELECT r.c AS list_id, f.cent[r.c + 1] AS cvec
+  FROM range({nlist}) r(c), fin f WHERE r.c + 1 <= len(f.cent)
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id = 0),
 s AS (
-  SELECT vec_id, list_id,
-         round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-               / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-                  * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-               + 1e-9, 4) + 0.0 AS ccos
-  FROM a GROUP BY 1, 2
+  SELECT e.vec_id, c.list_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(c.cvec, c.cvec)))
+               + 1e-9, 4) AS ccos
+  FROM embeddings e CROSS JOIN cent c
 ),
 asg AS (
   SELECT vec_id, list_id FROM (
@@ -1277,19 +1323,18 @@ asg AS (
     FROM s) WHERE rn = 1
 ),
 probe AS (SELECT list_id FROM s WHERE vec_id = 0
-          ORDER BY ccos DESC, list_id LIMIT 2),
-z AS (
-  SELECT vec_id, unnest(embedding) AS x, unnest((SELECT e FROM q)) AS y
-  FROM embeddings
-  WHERE vec_id IN (SELECT vec_id FROM asg
-                   WHERE list_id IN (SELECT list_id FROM probe))
-),
+          ORDER BY ccos DESC, list_id LIMIT {nprobe}),
 s2 AS (
-  SELECT vec_id,
-         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-         sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
-         sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
-  FROM z GROUP BY 1
+  SELECT e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                          (SELECT e FROM q)) AS dot,
+         sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[]))) AS na,
+         sqrt(list_dot_product((SELECT e FROM q),
+                               (SELECT e FROM q))) AS nb
+  FROM embeddings e
+  WHERE e.vec_id IN (SELECT vec_id FROM asg
+                     WHERE list_id IN (SELECT list_id FROM probe))
 ),
 r AS (
   SELECT vec_id, round(dot / (na * nb) + 1e-9, 4) + 0.0 AS cosine,
@@ -1297,17 +1342,21 @@ r AS (
                             vec_id) AS rk
   FROM s2
 )
-SELECT vec_id, cosine, rk FROM r WHERE rk <= 5
-""",
-)
+SELECT vec_id, cosine, rk FROM r WHERE rk <= {k}
+"""
+
+
+@register("ann_cosine_top5_ivf", _ivf_kmeans_sql())
 def ann_cosine_top5_ivf(spark, sf_dir):
-    """IVF-partitioned ANN (similarity.ann_topk_ivf): nlist=8 coarse
-    centroids (first 8 vectors — the deterministic stand-in for k-means
-    training), zero-shuffle literal-centroid assignment by rounded
-    cosine (ties to smallest list id), probe the query's nprobe=2
-    closest lists, exact top-5 within the candidates. The twin replays
-    assignment relationally (cross join + row_number argmin with the
-    identical rounded-cosine/list-id ordering)."""
+    """IVF-partitioned ANN (similarity.ann_topk_ivf): a TRAINED nlist=8
+    coarse codebook (similarity.kmeans_codebook — deterministic
+    strided-init Lloyd, 20 fixed iterations over the first 128 vectors),
+    zero-shuffle literal-centroid assignment by rounded cosine (ties to
+    smallest list id), probe the query's nprobe=2 closest lists, exact
+    top-5 within the candidates. The twin replays the k-means as a
+    recursive CTE (the CBLOF pattern) and assignment relationally
+    (cross join + row_number argmin with the identical
+    rounded-cosine/list-id ordering)."""
     emb = _emb(spark, sf_dir)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.ann_topk_ivf(emb, qvec, k=5, nlist=8, nprobe=2)
@@ -4340,23 +4389,31 @@ _DRIVER_WINDOW_FIRST = [
     "matrix_profile_w20", "yeo_johnson", "detect_sod",
     "detect_autoreg", "detect_multivariate_avg", "detect_cof",
     "detect_cblof", "detect_pca",
-    # -- rotating previously-driver-green twins; the north-star
-    #    rollup/gap-fill/dedup pipeline stays in-window, and
-    #    holt_winters_auto_1d takes timeseries_split_5fold's slot (the
-    #    split twin is 3x driver-green)
+    # -- round 5: rotate IN the five round-4 twins the driver has never
+    #    seen (judge-green at sf0.01 in the r4 VERDICT but no driver row)
+    #    plus the full-length holt_winters_auto (the last twin with zero
+    #    driver evidence at registered length — LAST slot, its DuckDB
+    #    oracle is the most expensive in the registry). The north-star
+    #    rollup/gap-fill/minhash anchors stay in-window.
     "rollup_1m", "rollup_1h_cascade", "rollup_1d_cascade", "doc_repetition",
-    "rollup_quantiles_1h", "gap_fill_linear",
-    "denormalize_revenue",
-    "holt_winters_auto_1d", "contamination_threshold",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_candidates", "simhash_near_pairs", "ann_cosine_top5",
+    "gap_fill_linear",
+    "holt_winters_auto_1d",
+    "minhash_lsh_candidates",
+    "doc_tfidf_top3", "contamination_3gram", "stratified_sample_2",
+    "pack_sequences_4k", "ann_cosine_top5_ivf",
+    "holt_winters_auto",
 ]
-# displaced this round (r01+r02 driver-green twice, still judge-checkable
-# via scripts/check_oracle.py): stat_mean_w5, stat_median_w5,
-# moving_average_w3, segmentation_w4_s2, topk_per_type,
+# displaced round 5 (each 3x driver-green r2+r3+r4, still judge-checkable
+# via scripts/check_oracle.py): simhash_near_pairs, ngram_jaccard_pairs,
+# contamination_threshold, ann_cosine_top5 (its brute-force core is the
+# final stage of in-window ann_cosine_top5_ivf and stays benched),
+# rollup_quantiles_1h (rollup_1m/1h/1d keep the cascade covered),
+# denormalize_revenue (stays benched).
+# displaced round 4 (r01+r02 driver-green twice): stat_mean_w5,
+# stat_median_w5, moving_average_w3, segmentation_w4_s2, topk_per_type,
 # q1_pricing_summary, system_wise_scores, ensemble_binarize,
-# dedup_minute_avg, construct_predictions, rollup_var_1h, dedup_exact_groups,
-# resample_5m (3x driver-green; its slot goes to the new doc_repetition twin)
+# dedup_minute_avg, construct_predictions, rollup_var_1h,
+# dedup_exact_groups, resample_5m
 
 
 def _reorder_registry() -> None:
