@@ -357,3 +357,135 @@ def test_ann_ivf_trained_codebook(spark):
     exact = SIM.cosine_topk_bruteforce(emb, q, k=5).toPandas()
     full = SIM.ann_topk_ivf(emb, q, k=5, nlist=4, nprobe=4).toPandas()
     assert list(full.vec_id) == list(exact.vec_id)
+
+
+def test_word_entropy_vs_python_replay(spark):
+    """Shannon word entropy: the sorted-array fold matches a Counter
+    replay; all-distinct docs hit log2(n), single-word docs hit 0."""
+    import math
+    from collections import Counter
+
+    pdf = _corpus(n=15)
+    pdf.loc[len(pdf)] = ["dsame", "rep rep rep rep"]
+    pdf.loc[len(pdf)] = ["done", "solo"]
+    out = (
+        TX.word_entropy(spark.createDataFrame(pdf))
+        .select("doc_id", "n_words", "n_distinct", "entropy", "norm_entropy")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for _, row in pdf.iterrows():
+        w = row.text.split()
+        cnt = Counter(w)
+        ent = -sum((c / len(w)) * math.log2(c / len(w)) for c in cnt.values())
+        got = out.loc[row.doc_id]
+        assert got.n_words == len(w) and got.n_distinct == len(cnt)
+        assert abs(got.entropy - ent) < 1e-9
+        expect_norm = ent / math.log2(len(cnt)) if len(cnt) > 1 else 0.0
+        assert abs(got.norm_entropy - expect_norm) < 1e-9
+    assert out.loc["dsame"].entropy == 0.0
+    assert out.loc["done"].entropy == 0.0
+
+
+def test_source_mixture_weights_tau(spark):
+    """Temperature weights: sum to 1, match numpy's size^tau normalization,
+    and tau<1 upweights the small source above its natural share."""
+    from tods_spark.operators import preprocessing as PP
+
+    rows = [(i, "big", 1000) for i in range(90)] + [
+        (100 + i, "small", 500) for i in range(10)
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = PP.source_mixture_weights(sdf, tau=0.5).toPandas().set_index("source")
+    sizes = {"big": 90 * 1000.0, "small": 10 * 500.0}
+    wr = {s: v ** 0.5 for s, v in sizes.items()}
+    tot = sum(wr.values())
+    for s in sizes:
+        assert abs(out.loc[s].mixture_weight - wr[s] / tot) < 1e-12
+        assert abs(out.loc[s].natural_share - sizes[s] / 95000.0) < 1e-12
+    assert abs(out.mixture_weight.sum() - 1.0) < 1e-12
+    assert out.loc["small"].mixture_weight > out.loc["small"].natural_share
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation: a 4-vertex chain (worst diameter) collapses
+    to one component labeled by its min id; neardup_clusters groups the
+    planted exact+near dup with its original under the original's id."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    comp = {r.id: r.lbl for r in DD.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    pdf = _corpus(n=30)  # +2 planted: exact dup of d000, near-dup of d001
+    clusters = DD.neardup_clusters(
+        spark.createDataFrame(pdf), k=16, bands=8, hash_fn="md5"
+    ).toPandas()
+    by_doc = clusters.set_index("doc_id").cluster_id.to_dict()
+    assert by_doc.get("d030") == "d000" and by_doc.get("d000") == "d000"
+    assert by_doc.get("d031") == "d001" and by_doc.get("d001") == "d001"
+
+
+def test_dedup_keep_drops_planted(spark):
+    """dedup_keep removes the planted exact+near dup, keeps the originals
+    and everything else untouched."""
+    pdf = _corpus(n=30)  # 32 rows: d030 dups d000, d031 near-dups d001
+    sdf = spark.createDataFrame(pdf)
+    kept = DD.dedup_keep(sdf, k=16, bands=8, hash_fn="md5").toPandas()
+    ids = set(kept.doc_id)
+    assert "d000" in ids and "d001" in ids
+    assert "d030" not in ids and "d031" not in ids
+    # kept == all docs minus exactly the non-canonical cluster members
+    # (random docs may LSH-collide too, so derive the expected drop set
+    # from the clustering op rather than hardcoding it)
+    clusters = DD.neardup_clusters(sdf, k=16, bands=8, hash_fn="md5").toPandas()
+    expected_drop = set(
+        clusters[clusters.doc_id != clusters.cluster_id].doc_id
+    )
+    assert {"d030", "d031"} <= expected_drop
+    assert ids == set(pdf.doc_id) - expected_drop
+
+
+def test_ngram_topk_counts_and_tiebreak(spark):
+    """Top-k 3-grams: counts match a Counter replay; ties resolve gram-asc;
+    docs shorter than n contribute nothing."""
+    from collections import Counter
+
+    docs = ["a b c d", "a b c x", "b c d", "zz yy", "q"]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = TX.ngram_topk(sdf, n=3, k=3).toPandas()
+    cnt = Counter()
+    for t in docs:
+        w = t.split()
+        for i in range(len(w) - 2):
+            cnt[" ".join(w[i : i + 3])] += 1
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(map(tuple, got[["gram", "cnt"]].values)) == expect
+
+
+def test_token_len_histogram_replay(spark):
+    """Histogram buckets replay floor(ceil(nonspace/4)/64) per source."""
+    import math
+
+    rows = [
+        (i, f"s{i % 2}", "x" * (50 + 97 * i) + " tail") for i in range(8)
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = (
+        TX.token_len_histogram(sdf, bucket=64)
+        .toPandas()
+        .set_index(["source", "len_bucket"])
+        .sort_index()
+    )
+    import collections
+    exp = collections.defaultdict(list)
+    for _, src, text in rows:
+        est = math.ceil(len(text.replace(" ", "")) / 4)
+        exp[(src, est // 64)].append(est)
+    assert set(got.index) == set(exp)
+    for key, ests in exp.items():
+        row = got.loc[key]
+        assert row.n_docs == len(ests)
+        assert row.min_tok == min(ests) and row.max_tok == max(ests)

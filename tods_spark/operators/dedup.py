@@ -420,3 +420,95 @@ def ngram_contamination(
             "contamination_frac", F.col("n_hit") / F.col("n_grams")
         )
     )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list (`src`, `dst`) by
+    min-label propagation: every vertex starts labeled with its own id and
+    repeatedly takes the min label over itself and its neighbors until a
+    fixed point. Returns (id, cluster_id) with cluster_id = min vertex id
+    in the component.
+
+    Scale shape: each round is one shuffle join (edges x labels on src)
+    plus one partial+final min-aggregate keyed by vertex — both combine
+    map-side; `localCheckpoint` truncates the growing lineage so round N
+    doesn't replay rounds 1..N-1. Rounds needed = component diameter:
+    near-dup clusters are star-like (a hub template + variants), so this
+    converges in ~2-4 rounds in practice; for adversarial long-chain
+    graphs the classic fix is large-star/small-star alternation
+    (Kiveris et al. 2014), which this simple min-prop can be swapped for
+    without changing the output contract. Convergence: each vertex's old
+    label rides through the same min-aggregate (tagged union), so
+    "changed this round" is a cheap filter-count over the already-
+    materialized per-round checkpoint — no extra join, and it works for
+    any orderable id type (string or numeric; the cluster label is the
+    lexicographic/numeric min)."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("lbl"), F.lit(False).alias("own")
+        )
+        agg = (
+            labels.select("id", "lbl", F.lit(True).alias("own"))
+            .union(msgs)
+            .groupBy("id")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("own"), F.col("lbl"))).alias("old_lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = agg.filter(F.col("lbl") != F.col("old_lbl")).count()
+        labels = agg.select("id", "lbl")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
+    return labels
+
+
+def neardup_clusters(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text",
+    n: int = 3, k: int = 16, bands: int = 8, hash_fn: str = "md5",
+) -> DataFrame:
+    """Near-duplicate cluster labels: minhash-LSH candidate pairs as the
+    edge list, connected components over them, each clustered doc labeled
+    with the min doc id of its component (the canonical keep-one-per-
+    cluster dedup key). Docs with no near-dup partner are not emitted —
+    at corpus scale the output is the (small) dup fraction, not a full
+    relabeling of 10^12 rows."""
+    pairs = minhash_lsh_candidates(df, id_col, col, n, k, bands, hash_fn)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
+    )
+
+
+def dedup_keep(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text",
+    n: int = 3, k: int = 16, bands: int = 8, hash_fn: str = "md5",
+) -> DataFrame:
+    """The deduplicated corpus: drop every doc whose near-dup cluster
+    label is not itself (keep exactly one representative — the min id —
+    per cluster; `neardup_clusters` semantics). This is the op a training
+    pipeline actually runs after clustering.
+
+    Scale shape: the drop list is the (small) dup fraction of the corpus;
+    the final step is a LEFT ANTI join on the id — broadcastable whenever
+    the dup list fits (AQE converts it at runtime), shuffle-hash
+    otherwise. The full rows never move twice: clustering touches only
+    (id, text-derived hashes), the anti join is id-keyed."""
+    clusters = neardup_clusters(df, id_col, col, n, k, bands, hash_fn)
+    drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(drop, on=id_col, how="left_anti")

@@ -222,3 +222,40 @@ def pack_sequences(
         )
         .drop("_pb", "_run_in", "_boff")
     )
+
+
+def source_mixture_weights(
+    df: DataFrame,
+    tau: float = 0.7,
+    size_col: str = "n_chars",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled sampling weights per corpus source (the
+    GPT-3/Pile mixture recipe: weight_s proportional to size_s^tau,
+    tau<1 upweights small sources; tau=1 is natural sampling).
+
+    Output: one row per source with n_docs, total size, the natural
+    share, and the tau-scaled mixture weight (both normalized to sum 1).
+
+    Scale shape: one partial+final hash aggregate keyed by `source`
+    (bounded cardinality — sources are a curated list, not data-scale),
+    then a broadcast single-row totals join. No window, no collect; the
+    70%-skewed hot source combines map-side like any algebraic agg."""
+    per = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(size_col).cast("double").alias("size_total"),
+    )
+    pw = per.withColumn("w_raw", F.pow(F.col("size_total"), F.lit(float(tau))))
+    tot = pw.agg(
+        F.sum("w_raw").alias("w_tot"), F.sum("size_total").alias("sz_tot")
+    )
+    return (
+        pw.join(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            F.col("size_total").cast("long").alias("size_total"),
+            (F.col("size_total") / F.col("sz_tot")).alias("natural_share"),
+            (F.col("w_raw") / F.col("w_tot")).alias("mixture_weight"),
+        )
+    )

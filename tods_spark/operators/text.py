@@ -240,3 +240,89 @@ def tfidf_topk(df: DataFrame, k: int = 3, id_col: str = "doc_id",
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "word", "tf", "df", "tfidf")
     )
+
+
+def word_entropy(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy over the word-frequency distribution
+    (a standard gibberish / boilerplate signal in pretraining quality
+    filters: low entropy = repeated words, high ~ log2(n) = all-distinct).
+
+        H = -sum_x (c_x / n) * log2(c_x / n)   over distinct words x
+        norm_entropy = H / log2(u)             (u distinct words; 0 if u<=1)
+
+    Spark-first shape: ONE codegen'd fold over the sorted word array per
+    row (the `_top_run_chars` run-length idiom) — each run of equal words
+    closes with its -p*log2(p) term. No explode, no shuffle; the op is a
+    pure projection and scales as O(words log words) inside the scan
+    stage at any corpus size."""
+    w = words(col)
+    n = F.size(w).cast("double")
+    u = F.size(F.array_distinct(w))
+
+    def term(c):
+        p = c / n
+        return p * F.log2(p)
+
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0.0).alias("run"),
+        F.lit(0.0).alias("acc"),
+    )
+
+    def step(a, x):
+        is_run = x == a["prev"]
+        run = F.when(is_run, a["run"] + 1.0).otherwise(F.lit(1.0))
+        acc = F.when(is_run | (a["run"] == 0.0), a["acc"]).otherwise(
+            a["acc"] + term(a["run"])
+        )
+        return F.struct(x.alias("prev"), run.alias("run"), acc.alias("acc"))
+
+    res = F.aggregate(F.array_sort(w), acc0, step)
+    ent = -(
+        res["acc"]
+        + F.when(res["run"] > 0.0, term(res["run"])).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("n_words", F.size(w))
+        .withColumn("n_distinct", u)
+        .withColumn("entropy", ent)
+        .withColumn(
+            "norm_entropy",
+            F.when(u > 1, ent / F.log2(u.cast("double"))).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def ngram_topk(df: DataFrame, n: int = 3, k: int = 20,
+               col: str = "text") -> DataFrame:
+    """Corpus-wide top-k most frequent word n-grams (boilerplate /
+    template discovery over a pretraining corpus). Deterministic
+    tie-break: count desc, then gram asc.
+
+    Scale shape: vocabulary-keyed partial+final hash aggregate (hot grams
+    combine map-side — no doc-keyed shuffle), then a global top-k that
+    Spark plans as TakeOrderedAndProject: each task keeps k rows, the
+    driver merges k*tasks — no global sort, no single-partition exchange."""
+    grams = df.select(F.explode(_ngrams(words(col), n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("gram").asc()).limit(k)
+
+
+def token_len_histogram(df: DataFrame, bucket: int = 64,
+                        col: str = "text") -> DataFrame:
+    """Per-source histogram of estimated token lengths (the packing /
+    curriculum diagnostic): bucket = floor(n_subword_est / bucket_width).
+    One partial+final hash aggregate over (source, bucket) — bounded
+    cardinality both keys, map-side combine absorbs the hot source."""
+    est = F.ceil(
+        F.length(F.regexp_replace(F.col(col), r"\s+", "")) / 4
+    ).cast("int")
+    b = F.floor(est / F.lit(bucket)).cast("long")
+    return (
+        df.select(F.col("source"), b.alias("len_bucket"), est.alias("est"))
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("est").alias("min_tok"),
+            F.max("est").alias("max_tok"),
+        )
+    )
