@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "doc_quality",
     "minhash_lsh_candidates",
     "minhash_lsh_candidates_xxh64",
+    # end-to-end near-dup clustering (LSH pairs -> connected components ->
+    # labels), engine-native hash path; timed last — it runs driver-side
+    # convergence rounds and should not precede expression-only queries
+    "neardup_clusters_xxh64",
 ]
 
 
@@ -66,7 +70,21 @@ def _minhash_engine_native(spark, sf_dir):
     return DD.minhash_lsh_candidates(docs, k=16, bands=8)
 
 
-BENCH_IMPLS = {"minhash_lsh_candidates_xxh64": _minhash_engine_native}
+def _neardup_engine_native(spark, sf_dir):
+    """Near-dup clustering with the JVM-native xxhash64 base hash (same
+    16/8 banding as the registered md5 oracle-parity path). The timing
+    includes the min-label-propagation rounds — the fn() call itself runs
+    the convergence loop, all inside the timed region."""
+    from tods_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.neardup_clusters(docs, k=16, bands=8, hash_fn="xxhash64")
+
+
+BENCH_IMPLS = {
+    "minhash_lsh_candidates_xxh64": _minhash_engine_native,
+    "neardup_clusters_xxh64": _neardup_engine_native,
+}
 
 
 def _bench_fn(name):

@@ -252,6 +252,24 @@ def main() -> None:
           f"({len(QUERIES) - len(ALLOW)} plans scanned)",
           not offenders, "; ".join(offenders[:3]))
 
+    # 18. corpus top-k plans as TakeOrderedAndProject (k rows per task,
+    #     merged on the driver) — never a global Sort of the gram counts
+    nk_plan = QUERIES["ngram_top20"](spark, SF)._jdf.queryExecution(
+    ).executedPlan().toString()
+    check("ngram_top20 global top-k is TakeOrderedAndProject (no global "
+          "sort)",
+          "TakeOrderedAndProject" in nk_plan
+          and not _re.search(r"\bSort \[cnt", nk_plan))
+
+    # 19. the dedup drop-list anti join stays a hash join (broadcast or
+    #     shuffled) — a nested-loop anti join over the corpus would be the
+    #     quadratic failure shape
+    dk_plan = QUERIES["dedup_keep_corpus"](spark, SF)._jdf.queryExecution(
+    ).executedPlan().toString()
+    check("dedup_keep anti join is hash-based",
+          bool(_re.search(r"(BroadcastHashJoin|ShuffledHashJoin|"
+                          r"SortMergeJoin) .*LeftAnti", dk_plan)))
+
     bad = [n for n, ok in checks if not ok]
     print(f"\n{len(checks) - len(bad)}/{len(checks)} plan checks pass")
     if bad:

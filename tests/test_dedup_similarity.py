@@ -489,3 +489,57 @@ def test_token_len_histogram_replay(spark):
         row = got.loc[key]
         assert row.n_docs == len(ests)
         assert row.min_tok == min(ests) and row.max_tok == max(ests)
+
+
+def test_quality_gate_replay(spark):
+    """Composite gate: python replay of the quality/dup/word-count
+    predicate matches per-source pass counts."""
+    docs = [
+        (0, "sA", "The quick brown fox jumps over the lazy dog " * 12),
+        (1, "sA", "rep rep rep rep rep rep rep rep"),          # dupf too high
+        (2, "sA", "one two"),                                  # too short
+        (3, "sB", "Many distinct English words compose this sentence "
+                  "carefully avoiding duplicates entirely today " * 10),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = TX.quality_gate(sdf).toPandas().set_index("source")
+
+    def gate(text):
+        w = text.split()
+        n, u = len(w), len(set(w))
+        alpha = sum(c.isalpha() for c in text if c.isascii()) / max(len(text), 1)
+        q = min(n / 100.0, 1.0) * 0.4 + (u / n) * 0.3 + alpha * 0.3
+        return q >= 0.5 and (n - u) / n <= 0.3 and 5 <= n <= 100_000
+
+    import collections
+    exp = collections.defaultdict(lambda: [0, 0])
+    for _, src, t in docs:
+        exp[src][0] += 1
+        exp[src][1] += int(gate(t))
+    for src, (nd, npass) in exp.items():
+        assert got.loc[src].n_docs == nd
+        assert got.loc[src].n_pass == npass
+
+
+def test_pack_straddle_replay(spark):
+    """Straddler = doc crossing a bin boundary, replayed from the
+    cumulative offsets."""
+    from tods_spark.operators import preprocessing as PP
+
+    rows = [(i, f"s{i % 2}", 300 + 111 * i) for i in range(10)]
+    sdf = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    packed = PP.pack_sequences(sdf, budget=1000).toPandas()
+    import collections
+    exp = collections.defaultdict(lambda: [0, 0])
+    cum = collections.defaultdict(int)
+    for i, src, nc in sorted(rows):
+        start = cum[src]
+        exp[src][0] += 1
+        exp[src][1] += int(start // 1000 != (start + nc - 1) // 1000)
+        cum[src] += nc
+    for src, grp in packed.groupby("source"):
+        stradd = sum(
+            int(r.start_offset // 1000 != (r.start_offset + r.n_chars - 1) // 1000)
+            for _, r in grp.iterrows()
+        )
+        assert [len(grp), stradd] == exp[src]

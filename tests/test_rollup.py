@@ -147,3 +147,25 @@ def test_partial_digest_rollup_equivalent(spark):
         qa = sketches.digest_quantile(np.asarray(da, float), 0.5)
         qb = sketches.digest_quantile(np.asarray(db, float), 0.5)
         np.testing.assert_allclose(qa, qb, rtol=1e-9)
+
+
+def test_weekly_tier_cascade_equals_direct(spark):
+    """raw->1m->1h->1d->1w algebraic cascade equals the direct raw->1w
+    rollup (both epoch-aligned 7-day windows)."""
+    from tods_spark.operators.rollup import rollup_cascade, rollup_raw
+
+    raw = token_table(spark, 4000, cadence_s=3600)  # spans multiple weeks
+    direct = (
+        rollup_raw(raw, "1w")
+        .orderBy("source", "window_start")
+        .toPandas()
+    )
+    t = rollup_raw(raw, "1m")
+    for a, b in (("1m", "1h"), ("1h", "1d"), ("1d", "1w")):
+        t = rollup_cascade(t, a, b)
+    casc = t.orderBy("source", "window_start").toPandas()
+    assert len(direct) > 1  # really multiple weekly windows
+    pd.testing.assert_frame_equal(
+        casc.reset_index(drop=True)[direct.columns], direct.reset_index(drop=True),
+        check_exact=False, rtol=1e-12,
+    )

@@ -363,3 +363,36 @@ def test_streaming_cascade_late_data_within_watermark(spark, tmp_path):
         np.testing.assert_allclose(h0[c].to_numpy(), b0[c].to_numpy(),
                                    rtol=1e-12, err_msg=c)
     assert h0["cnt"].iloc[0] == 13  # 10 in-order + 1 at min 30 + 2 late
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a replayed batch (same doc_ids,
+    same timestamps) contributes no extra rows; distinct ids survive."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from tods_spark.streaming.rollup_stream import streaming_dedup
+
+    src = str(tmp_path / "dedup_src")
+    df = token_table(spark, 400, partitions=2)
+    # write the table TWICE into the source dir: at-least-once delivery
+    df.write.parquet(src)
+    df.write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(_parse_datatype_string(SCHEMA))
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup(stream, id_cols=("doc_id",), delay="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT doc_id FROM dedup_stream").toPandas()
+    n_distinct = df.select("doc_id").distinct().count()
+    assert len(got) == n_distinct
+    assert got.doc_id.nunique() == n_distinct

@@ -33,9 +33,16 @@ from pyspark.sql import DataFrame, functions as F
 
 from tods_spark.functions import sketches
 
-TIERS = ("1m", "1h", "1d")
-TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
-TIER_INTERVAL = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+TIERS = ("1m", "1h", "1d", "1w")
+TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400, "1w": 604800}
+# "1w" is spelled "7 days": Spark tumbling windows align every duration to
+# the 1970-01-01 epoch, so a 7-day window is epoch-aligned too (Thursday
+# boundaries); calendar-"week" semantics (Monday origin) are a different
+# contract — oracle twins must pin the same origin (DuckDB time_bucket's
+# week origin is 2000-01-03, a Monday, so the twin passes
+# origin TIMESTAMP '1970-01-01' explicitly).
+TIER_INTERVAL = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day",
+                 "1w": "7 days"}
 
 AGG_COLS = [
     "cnt",

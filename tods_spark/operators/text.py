@@ -326,3 +326,49 @@ def token_len_histogram(df: DataFrame, bucket: int = 64,
             F.max("est").alias("max_tok"),
         )
     )
+
+
+def quality_gate(
+    df: DataFrame, col: str = "text",
+    min_quality: float = 0.5, max_dup_word_frac: float = 0.3,
+    min_words: int = 5, max_words: int = 100_000,
+) -> DataFrame:
+    """Per-source pass rates of a composite pretraining quality filter
+    (the deploy-shape of the per-doc signals: quality_score >= q_min AND
+    duplicate-word fraction <= d_max AND word count in [lo, hi]).
+
+    The predicate is evaluated on UNROUNDED doubles with the identical
+    expression order on both engines (IEEE arithmetic is deterministic,
+    so the booleans agree bit-for-bit). One scan + one bounded-key
+    aggregate; the filter itself never shuffles."""
+    w = words(col)
+    n = F.size(w)
+    uniq = F.size(F.array_distinct(w))
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(col), r"[^A-Za-z]", "")) /
+        F.greatest(F.length(col), F.lit(1))
+    )
+    quality = (
+        F.least(n / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (uniq / n) * 0.3
+        + alpha_ratio * 0.3
+    )
+    dupf = (n - uniq) / n
+    passed = (
+        (quality >= F.lit(float(min_quality)))
+        & (dupf <= F.lit(float(max_dup_word_frac)))
+        & n.between(min_words, max_words)
+    )
+    return (
+        df.select(F.col("source"), passed.cast("int").alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("p").alias("n_pass"),
+        )
+        .withColumn(
+            "pass_rate",
+            F.round(F.col("n_pass") / F.col("n_docs") + F.lit(1e-9), 4)
+            + F.lit(0.0),
+        )
+    )

@@ -21,7 +21,8 @@ from pathlib import Path
 from tods_spark.plans.checkpoint import CheckpointLog
 from tods_spark.sources.storage import PartitionedTable
 
-DEFAULT_HORIZON_DAYS = {"raw": 7, "1m": 30, "1h": 365, "1d": None}
+DEFAULT_HORIZON_DAYS = {"raw": 7, "1m": 30, "1h": 365, "1d": None,
+                        "1w": None}
 
 
 def expire_partitions(

@@ -129,6 +129,35 @@ def rollup_1d_cascade(spark, sf_dir):
 
 
 @register(
+    "rollup_1w_cascade",
+    """
+SELECT event_type,
+       time_bucket(INTERVAL '7 days', ts, TIMESTAMP '1970-01-01')
+         AS window_start,
+       count(*) AS cnt,
+       round(sum(value) + 1e-9, 4) + 0.0 AS sum_value,
+       round(min(value) + 1e-9, 4) + 0.0 AS min_value,
+       round(max(value) + 1e-9, 4) + 0.0 AS max_value,
+       round(round(sum(value) + 1e-9, 4) / count(*) + 1e-9, 4) + 0.0 AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def rollup_1w_cascade(spark, sf_dir):
+    """Fourth retention tier: 1d re-aggregated to 1w (epoch-aligned 7-day
+    windows on both engines — the oracle pins time_bucket's origin to
+    1970-01-01 because DuckDB's default week origin is 2000-01-03, a
+    Monday, while Spark tumbling windows are always epoch-aligned).
+    Oracle computes the 1w rollup directly from raw; equality proves the
+    FULL four-step cascade raw->1m->1h->1d->1w composes algebraically."""
+    t1m = rollup.rollup_raw(_events(spark, sf_dir), "1m", value_col="value",
+                            keys=("event_type",))
+    t1h = rollup.rollup_cascade(t1m, "1m", "1h", keys=("event_type",))
+    t1d = rollup.rollup_cascade(t1h, "1h", "1d", keys=("event_type",))
+    return _rollup_finish(rollup.rollup_cascade(t1d, "1d", "1w", keys=("event_type",)))
+
+
+@register(
     "resample_5m",
     """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
@@ -4519,6 +4548,144 @@ def token_len_hist64(spark, sf_dir):
     return TX.token_len_histogram(_docs(spark, sf_dir), bucket=64)
 
 
+@register(
+    "quality_gate_rates",
+    r"""
+WITH base AS (
+  SELECT source, text, regexp_split_to_array(trim(text), '\s+') AS w,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS nalpha
+  FROM documents
+),
+f AS (
+  SELECT source,
+         (least(len(w) / 100.0, 1.0) * 0.4
+          + (len(list_distinct(w)) * 1.0 / len(w)) * 0.3
+          + (nalpha * 1.0 / greatest(length(text), 1)) * 0.3) AS q,
+         ((len(w) - len(list_distinct(w))) * 1.0 / len(w)) AS dupf,
+         len(w) AS n
+  FROM base
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN q >= 0.5 AND dupf <= 0.3
+                      AND n BETWEEN 5 AND 100000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       round(sum(CASE WHEN q >= 0.5 AND dupf <= 0.3
+                       AND n BETWEEN 5 AND 100000
+                      THEN 1 ELSE 0 END) * 1.0 / count(*)
+             + 1e-9, 4) + 0.0 AS pass_rate
+FROM f GROUP BY 1
+""",
+)
+def quality_gate_rates(spark, sf_dir):
+    """Composite quality-filter pass rate per source (text.quality_gate):
+    quality >= 0.5 AND dup-word-frac <= 0.3 AND 5 <= n_words <= 100000,
+    evaluated on unrounded doubles with identical expression order on
+    both engines."""
+    return TX.quality_gate(_docs(spark, sf_dir))
+
+
+@register(
+    "contamination_by_source",
+    rf"""
+WITH d AS (
+  SELECT doc_id, source, {_W_SQL} AS w FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+  FROM d WHERE len(w) >= 3
+),
+tr AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE length(source) = 4),
+te AS (SELECT doc_id, source, unnest(grams) AS gram FROM g
+       WHERE length(source) = 5),
+per AS (
+  SELECT doc_id, source,
+         count(*) AS n_grams,
+         count(*) FILTER (gram IN (SELECT gram FROM tr)) AS n_hit
+  FROM te GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       round(sum(n_hit * 1.0 / n_grams) / count(*) + 1e-9, 4) + 0.0
+         AS avg_contamination
+FROM per GROUP BY 1
+""",
+)
+def contamination_by_source(spark, sf_dir):
+    """Per-source rollup of the decontamination check: how many test docs
+    hit the train corpus at all, and the mean contamination fraction —
+    the report a pipeline acts on. Composition: ngram_contamination
+    (vocabulary-keyed semi-join) -> id-keyed join back to source ->
+    bounded-key aggregate."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.length("source") == 4)
+    test = docs.filter(F.length("source") == 5)
+    per = DD.ngram_contamination(test, train, n=3)
+    return (
+        per.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_hit") > 0).cast("long")).alias("n_contaminated"),
+            (F.round(
+                F.sum(F.col("n_hit") / F.col("n_grams")) / F.count("*")
+                + F.lit(1e-9), 4) + F.lit(0.0)).alias("avg_contamination"),
+        )
+    )
+
+
+@register(
+    "pack_straddle_stats",
+    """
+WITH packed AS (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS start_o
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN floor(start_o / 4096.0)
+                       <> floor((start_o + n_chars - 1) / 4096.0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+       round(sum(CASE WHEN floor(start_o / 4096.0)
+                        <> floor((start_o + n_chars - 1) / 4096.0)
+                      THEN 1 ELSE 0 END) * 1.0 / count(*)
+             + 1e-9, 4) + 0.0 AS straddle_rate
+FROM packed GROUP BY 1
+""",
+)
+def pack_straddle_stats(spark, sf_dir):
+    """Packing diagnostic: per source, how many documents straddle a
+    4096-char pack-bin boundary (these need cross-chunk attention masking
+    or splitting downstream). Built on the two-phase prefix-sum packing —
+    no per-source window on the engine side; the oracle recomputes
+    offsets the window way."""
+    packed = PP.pack_sequences(_docs(spark, sf_dir), budget=4096)
+    straddle = (
+        F.floor(F.col("start_offset") / F.lit(4096.0))
+        != F.floor((F.col("start_offset") + F.col("n_chars") - 1)
+                   / F.lit(4096.0))
+    )
+    return (
+        packed.select("source", straddle.cast("long").alias("s"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("s").alias("n_straddlers"),
+        )
+        .withColumn(
+            "straddle_rate",
+            F.round(F.col("n_straddlers") / F.col("n_docs") + F.lit(1e-9), 4)
+            + F.lit(0.0),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order = driver evidence budget. The driver's correctness
 # gate checks the FIRST 50 registered queries (list(queries())[:50], same
@@ -4543,9 +4710,9 @@ _DRIVER_WINDOW_FIRST = [
     # -- twins first checked in round 3 (the 2-day holt_winters_auto
     #    stays past position 50 — ~45 s DuckDB oracle, judge-verified
     #    tier; its driver-budget 1-day/2-start sibling is in-window below)
-    "detect_lof", "media_features", "detect_abod",
+    "detect_abod",
     "gorilla_roundtrip_1m", "salted_rollup_totals",
-    "spectral_residual", "fft_magnitude", "dct_transform", "detect_loda",
+    "dct_transform", "detect_loda",
     "matrix_profile_w20", "yeo_johnson", "detect_sod",
     "detect_autoreg", "detect_multivariate_avg", "detect_cof",
     "detect_cblof", "detect_pca",
@@ -4567,6 +4734,12 @@ _DRIVER_WINDOW_FIRST = [
     #    wavelet_denoise, pipeline_api_demo, detect_knn — all r3+r4 green)
     "source_mixture_weights", "doc_word_entropy", "neardup_clusters",
     "dedup_keep_corpus", "ngram_top20", "token_len_hist64",
+    # -- round 5 batch 3 + the 1w tier (no driver row yet anywhere); slots
+    #    from four 2x-driver-green r3+r4 entries (detect_lof,
+    #    media_features, spectral_residual, fft_magnitude, dct_transform —
+    #    still judge-checkable via scripts/check_oracle.py)
+    "quality_gate_rates", "contamination_by_source", "pack_straddle_stats",
+    "rollup_1w_cascade",
     "holt_winters_auto",
 ]
 # displaced round 5 continued (each 2x driver-green r3+r4): ses_smoothing,

@@ -158,3 +158,25 @@ def run_stream_from_parquet(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_dedup(
+    stream_df,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    event_time_col: str = "ts",
+    delay: str = "10 minutes",
+):
+    """Streaming exact dedup: drop re-deliveries of the same id arriving
+    within the watermark horizon (`dropDuplicatesWithinWatermark`,
+    Spark >= 3.5). This is the ingest-side guard of the dedup family —
+    at-least-once upstream (Kafka replays, retried producers) becomes
+    effectively-once before rows reach a rollup tier.
+
+    Scale shape: state is keyed by the id columns only (not id x window),
+    expires with the watermark, and lives in the per-partition state
+    store — no shuffle beyond the one hash-exchange on the ids that any
+    exact dedup needs; state size is bounded by arrival rate x delay,
+    never by stream history."""
+    return stream_df.withWatermark(
+        event_time_col, delay
+    ).dropDuplicatesWithinWatermark(list(id_cols))
