@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--compact", action="store_true",
                     help="merge small files per tier partition after the "
                          "cascade (Iceberg-style maintenance)")
+    ap.add_argument("--weekly", action="store_true",
+                    help="extend the cascade with the 1w retention tier")
     args = ap.parse_args()
 
     from tods_spark.pipeline import run_engine
@@ -55,6 +57,7 @@ def main() -> None:
         with_digest=not args.no_digest,
         verify_resume=args.verify_resume,
         compact=args.compact,
+        with_weekly=args.weekly,
         now=datetime.now(timezone.utc).replace(tzinfo=None)
         if args.retention
         else None,

@@ -543,3 +543,45 @@ def test_pack_straddle_replay(spark):
             for _, r in grp.iterrows()
         )
         assert [len(grp), stradd] == exp[src]
+
+
+def test_lang_id_agreement_replay(spark):
+    """Agreement rollup counts exact guess==metadata matches per source."""
+    rows = [
+        (1, "sA", "en", "the cat and the dog is of note to all"),
+        (2, "sA", "fr", "le chat et la mer les vagues des champs"),
+        (3, "sA", "zh", "wo men de peng you"),   # no marker -> und != zh
+        (4, "sB", "en", "xyzzy plugh quux"),     # und != en
+    ]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    agg = (
+        TX.lang_id(sdf).select("source", "lang", "lang_guess")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("lang_guess") == F.col("lang")).cast("long"))
+            .alias("n_match"),
+        )
+        .toPandas().set_index("source")
+    )
+    assert agg.loc["sA"].n_docs == 3 and agg.loc["sA"].n_match == 2
+    assert agg.loc["sB"].n_docs == 1 and agg.loc["sB"].n_match == 0
+
+
+def test_embedding_norm_fold_matches_numpy(spark):
+    """The in-scan norm fold equals numpy's L2 norm bit-for-bit-ish."""
+    pdf, M = _emb_frame(n=50, dim=16)
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    got = (
+        spark.createDataFrame(pdf).select("vec_id", nrm.alias("nrm"))
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    expect = np.sqrt((M.astype(np.float64) ** 2).sum(axis=1))
+    np.testing.assert_allclose(got.nrm.values, expect, rtol=1e-12)

@@ -132,3 +132,21 @@ def test_run_engine_with_dedup(spark, tmp_path):
     pdf = gen_pandas(np.arange(2000))
     expected = len(pdf.drop_duplicates(["source", "ts"]))
     assert total == expected < 2000
+
+
+def test_run_engine_weekly_tier(spark, tmp_path):
+    """with_weekly=True adds a checkpointed 1w tier whose totals re-sum
+    the 1d tier exactly."""
+    from tods_spark.datagen import token_table
+
+    base = str(tmp_path / "weekly")
+    raw = token_table(spark, 1500, cadence_s=3600)
+    r = run_engine(spark, raw, base, with_digest=False, pack=False,
+                   with_weekly=True)
+    assert r["1w"]["rows_out"] > 0
+    t1d = spark.read.parquet(f"{base}/tier_1d")
+    t1w = spark.read.parquet(f"{base}/tier_1w")
+    from pyspark.sql import functions as F
+    a = t1d.agg(F.sum("cnt"), F.sum("sum_n_tok")).collect()[0]
+    b = t1w.agg(F.sum("cnt"), F.sum("sum_n_tok")).collect()[0]
+    assert a[0] == b[0] and abs(a[1] - b[1]) < 1e-6

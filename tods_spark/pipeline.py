@@ -47,6 +47,7 @@ def run_engine(
     dedup: str | None = None,
     verify_resume: bool = False,
     compact: bool = False,
+    with_weekly: bool = False,
 ) -> dict:
     """Run the full cascade with checkpointed writes; returns per-tier
     stats {tier: {"computed": [...], "skipped": [...], "rows_out": n}}.
@@ -102,6 +103,18 @@ def run_engine(
         verify_resume=verify_resume,
     )
 
+    tier_tables = [("1m", t1m_table), ("1h", t1h_table), ("1d", t1d_table)]
+    if with_weekly:
+        t1w_table = PartitionedTable(spark, f"{base_dir}/tier_1w",
+                                     ["part_key"])
+        report["1w"] = run_tier(
+            spark, t1d_table.read().drop("part_key"),
+            lambda df: rollup_cascade(df, "1d", "1w", keys=keys),
+            t1w_table, ckpt, job_id, "1w", in_ts_col="window_start",
+            verify_resume=verify_resume,
+        )
+        tier_tables.append(("1w", t1w_table))
+
     if pack:
         packed = compression.pack_tier(
             t1m_table.read().drop("part_key"), value_col="avg_n_tok", keys=keys
@@ -113,14 +126,12 @@ def run_engine(
     if compact:
         # maintenance pass: merge per-run small files tier by tier (no-op
         # for partitions already at <=2 files)
-        for tier, table in (("1m", t1m_table), ("1h", t1h_table),
-                            ("1d", t1d_table)):
+        for tier, table in tier_tables:
             done = table.compact()
             report.setdefault("compacted", {})[tier] = done
 
     if now is not None:
-        for tier, table in (("1m", t1m_table), ("1h", t1h_table),
-                            ("1d", t1d_table)):
+        for tier, table in tier_tables:
             dropped = expire_partitions(
                 table, tier, now, horizons.get(tier), ckpt, job_id=job_id
             )
