@@ -585,3 +585,123 @@ def test_embedding_norm_fold_matches_numpy(spark):
     )
     expect = np.sqrt((M.astype(np.float64) ** 2).sum(axis=1))
     np.testing.assert_allclose(got.nrm.values, expect, rtol=1e-12)
+
+
+def test_source_minhash_overlap_identical_and_disjoint(spark):
+    """Two sources with the SAME doc set estimate Jaccard 1.0 (every
+    coordinate of the union-signature matches); sources over disjoint
+    vocabularies estimate ~0."""
+    rng = np.random.default_rng(7)
+    docs_a = [" ".join(rng.choice(WORDS, 30)) for _ in range(10)]
+    other = [w.upper() for w in WORDS]  # disjoint shingle space
+    docs_c = [" ".join(rng.choice(other, 30)) for _ in range(10)]
+    rows = (
+        [("sA", t) for t in docs_a]
+        + [("sB", t) for t in docs_a]  # identical corpus -> J = 1
+        + [("sC", t) for t in docs_c]  # disjoint corpus -> J ~ 0
+    )
+    sdf = spark.createDataFrame(rows, "source string, text string")
+    out = (
+        DD.source_minhash_overlap(sdf, k=16)
+        .toPandas()
+        .set_index(["source_a", "source_b"])
+    )
+    assert out.loc[("sA", "sB")].est_jaccard == 1.0
+    assert out.loc[("sA", "sC")].est_jaccard <= 0.25
+    assert out.loc[("sB", "sC")].est_jaccard <= 0.25
+
+
+def test_source_minhash_union_identity(spark):
+    """The per-source signature equals the signature of the UNION of the
+    source's docs computed as ONE concatenated-shingle-set document —
+    the min-distributes-over-union identity the operator relies on."""
+    rng = np.random.default_rng(13)
+    docs = [" ".join(rng.choice(WORDS, 25)) for _ in range(6)]
+    split = [("s0", t) for t in docs[:3]] + [("s1", t) for t in docs[3:]]
+    sdf = spark.createDataFrame(split, "source string, text string")
+    pair = DD.source_minhash_overlap(sdf, k=16).toPandas()
+    # reference: python minhash over the union of each source's shingles
+    import hashlib
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    av, bv = DD.minhash_coeffs(16)
+
+    def sig(texts):
+        sh = set()
+        for t in texts:
+            w = t.split()
+            sh |= {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        hs = [h64(s) % DD.MINHASH_P for s in sh]
+        return [
+            min((h * av[i] + bv[i]) % DD.MINHASH_P for h in hs)
+            for i in range(16)
+        ]
+    s0, s1 = sig(docs[:3]), sig(docs[3:])
+    expect = sum(int(a == b) for a, b in zip(s0, s1))
+    assert pair.iloc[0].n_match == expect
+
+
+def test_semdedup_finds_planted_pair_within_cluster_only(spark):
+    """The planted near-duplicate (vec n-1 ~ vec 0) lands in the same
+    k-means cluster and is emitted with cosine ~1; every emitted pair is
+    within one cluster and matches the numpy within-cluster ground truth."""
+    pdf, M = _emb_frame(n=120, dim=32)
+    df = spark.createDataFrame(pdf)
+    out = SIM.semdedup_pairs(df, tau=0.9, nlist=4, train_n=64, iters=10)
+    got = out.toPandas()
+    planted = got[(got.id_a == 0) & (got.id_b == len(M) - 1)]
+    assert len(planted) == 1 and planted.iloc[0].cosine > 0.95
+    # ground truth: same assignment -> same pairs above tau
+    cents = SIM.kmeans_codebook(df, nlist=4, train_n=64, iters=10)
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    X = M.astype(np.float64)
+    cos = (X @ C.T) / (
+        np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None]
+    )
+    asg = np.argmax(np.round(cos + 1e-9, 4), axis=1)
+    expect = set()
+    for i in range(len(X)):
+        for j in range(i + 1, len(X)):
+            if asg[i] != asg[j]:
+                continue
+            c = X[i] @ X[j] / (np.linalg.norm(X[i]) * np.linalg.norm(X[j]))
+            if round(c + 1e-9, 4) >= 0.9:
+                expect.add((i, j))
+    assert {(r.id_a, r.id_b) for r in got.itertuples()} == expect
+    assert (got.cluster_id.values == asg[got.id_a.values]).all()
+
+
+def test_source_word_kl_matches_numpy(spark):
+    """KL(p_src || p_corpus) golden vs a direct numpy computation; the
+    identical-to-corpus-mixture source scores ~0 and KL is never negative
+    ... within float tolerance."""
+    rows = [
+        ("s0", "alpha beta gamma alpha beta"),
+        ("s0", "alpha gamma delta"),
+        ("s1", "zeta zeta zeta eta theta"),
+        ("s1", "zeta eta"),
+        ("s2", "alpha beta gamma delta zeta eta theta"),
+    ]
+    sdf = spark.createDataFrame(rows, "source string, text string")
+    out = TX.source_word_kl(sdf).toPandas().set_index("source")
+    # numpy ground truth
+    from collections import Counter
+    per = {}
+    corpus: Counter = Counter()
+    for s, t in rows:
+        c = per.setdefault(s, Counter())
+        c.update(t.split())
+        corpus.update(t.split())
+    n_corpus = sum(corpus.values())
+    for s, c in per.items():
+        n = sum(c.values())
+        kl = sum(
+            (v / n) * np.log2((v / n) / (corpus[w] / n_corpus))
+            for w, v in c.items()
+        )
+        assert abs(out.loc[s].kl_bits - kl) < 1e-9
+        assert out.loc[s].n_words == n
+        assert out.loc[s].n_distinct_words == len(c)
+        assert out.loc[s].kl_bits > -1e-12

@@ -512,3 +512,61 @@ def dedup_keep(
     clusters = neardup_clusters(df, id_col, col, n, k, bands, hash_fn)
     drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def source_minhash_overlap(
+    df: DataFrame, strata_col: str = "source", col: str = "text",
+    n: int = 3, k: int = 16, hash_fn: str = "md5",
+) -> DataFrame:
+    """Corpus-overlap estimation between source shards: one k-coordinate
+    MinHash signature PER SOURCE (coordinate i = min over every shingle
+    the source contains of the i-th universal hash — min distributes over
+    union, so the per-source signature is exactly the signature of the
+    union of its docs' shingle sets), then the estimated Jaccard between
+    two sources = fraction of matching coordinates. The standard corpus-
+    audit question ("how much does crawl A overlap crawl B?") answered
+    without ever joining documents.
+
+    Scale shape: per-doc coordinate minima are a pure projection over the
+    scan (same shuffle-free shape as `minhash_signatures`); the only
+    exchange is a partial+final hash aggregate on ``strata_col`` whose
+    output is one row per source — a 70%-hot source costs nothing because
+    partial aggregation collapses each task's rows to <= n_sources
+    partials before the exchange (the map-side-combine answer to skew;
+    no salt needed for an algebraic min). The pair join is over the
+    n_sources-row table — metadata-sized at any corpus scale."""
+    sh = shingle_array(col, n)
+    base = (
+        (lambda s: md5_h64(s)) if hash_fn == "md5"
+        else (lambda s: F.xxhash64(s))
+    )
+    hs = F.transform(sh, lambda s: F.pmod(base(s), F.lit(MINHASH_P)))
+    av, bv = minhash_coeffs(k)
+    per_doc = df.select(
+        F.col(strata_col).alias("src"),
+        *[
+            F.array_min(
+                F.transform(
+                    hs, lambda h: (h * F.lit(av[i]) + F.lit(bv[i])) % F.lit(MINHASH_P)
+                )
+            ).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    per_src = per_doc.groupBy("src").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(k)]
+    )
+    a, b = per_src.alias("a"), per_src.alias("b")
+    n_match = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.src") < F.col("b.src"))
+        .select(
+            F.col("a.src").alias("source_a"),
+            F.col("b.src").alias("source_b"),
+            n_match.alias("n_match"),
+            (n_match / F.lit(float(k))).alias("est_jaccard"),
+        )
+    )

@@ -302,3 +302,54 @@ def ann_topk_ivf(
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     cand = assigned.filter(F.col("list_id").isin(probe_ids))
     return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    tau: float = 0.95,
+    nlist: int = 8,
+    train_n: int = 128,
+    iters: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic near-
+    duplicate pairs: k-means-cluster the embedding space with the IVF
+    codebook (kmeans_codebook — the same trained coarse quantizer the ANN
+    path uses), then compare vectors PAIRWISE ONLY WITHIN each cluster
+    and emit pairs whose rounded cosine >= ``tau``. The cluster stage is
+    what makes semantic dedup tractable: the quadratic is confined to
+    cluster populations, never the corpus.
+
+    Scale shape: codebook training is a bounded collect (<= train_n
+    rows); assignment is the zero-shuffle literal-centroid projection
+    (ivf_assign); the self-join shuffles on ``list_id`` once. Cluster
+    population bounds the quadratic — at corpus scale nlist is chosen
+    ~ N / desired_cluster_size (SemDeDup's paper setting: 50k clusters
+    for LAION-440M, i.e. ~10^4 per cluster), so per-reducer work stays
+    ~cluster_size^2 regardless of N; AQE skew-split handles an
+    over-popular centroid. The emitted pair list is the (small) near-dup
+    fraction, not a relabeling of the corpus."""
+    centroids = kmeans_codebook(df, nlist, train_n, iters, id_col, vec_col)
+    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
+        id_col, vec_col, "list_id"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    va, vb = F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+    cos = F.round(
+        _dot(va, vb) / (_norm(va) * _norm(vb)) + F.lit(1e-9), 4
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.list_id").alias("cluster_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )

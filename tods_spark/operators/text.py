@@ -372,3 +372,48 @@ def quality_gate(
             + F.lit(0.0),
         )
     )
+
+
+def source_word_kl(df: DataFrame, col: str = "text",
+                   strata_col: str = "source") -> DataFrame:
+    """Per-source word-distribution drift vs the whole corpus: KL(p_src
+    || p_corpus) in bits over unigram frequencies. The standard corpus-
+    audit signal for "which shard's language diverges from the mixture"
+    (a shard of boilerplate or another register shows up as high KL; the
+    corpus distribution dominates every source's support, so q > 0
+    wherever p > 0 and the sum is total).
+
+    Scale shape: explode to (source, word), ONE partial+final hash
+    aggregate on the (source, word) composite — vocabulary-keyed, so the
+    70%-hot source key is spread over its whole vocabulary rather than
+    one reducer (the same key-widening answer ngram_topk uses). Corpus
+    word totals REUSE the per-source aggregate (a second, smaller agg on
+    word), and the final join is per-source-counts ⋈ corpus-counts on
+    word — both sides vocabulary-keyed, output n_sources rows."""
+    w = words(col)
+    tok = df.select(
+        F.col(strata_col).alias("src"), F.explode(w).alias("word")
+    )
+    per = tok.groupBy("src", "word").agg(F.count("*").alias("c"))
+    src_tot = per.groupBy("src").agg(F.sum("c").alias("n_src"))
+    corpus = per.groupBy("word").agg(F.sum("c").alias("cc"))
+    corpus_tot = per.agg(F.sum("c").alias("n_corpus"))
+    p = (F.col("c") / F.col("n_src"))
+    q = (F.col("cc") / F.col("n_corpus"))
+    return (
+        per.join(corpus, "word")
+        .join(F.broadcast(src_tot), "src")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("src")
+        .agg(
+            F.sum(p * F.log2(p / q)).alias("_kl"),
+            F.count("*").alias("n_distinct_words"),
+        )
+        .join(F.broadcast(src_tot), "src")
+        .select(
+            F.col("src").alias(strata_col),
+            F.col("n_src").alias("n_words"),
+            "n_distinct_words",
+            F.col("_kl").alias("kl_bits"),
+        )
+    )

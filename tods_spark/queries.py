@@ -1279,22 +1279,23 @@ def ann_cosine_top5(spark, sf_dir):
     return SIM.cosine_topk_bruteforce(emb, qvec, k=5)
 
 
-def _ivf_kmeans_sql(d: int = 64, nlist: int = 8, train_n: int = 128,
-                    iters: int = 20, k: int = 5, nprobe: int = 2) -> str:
-    """DuckDB twin of the TRAINED-codebook IVF path: Lloyd k-means as a
-    recursive CTE whose state is the centroid list (the CBLOF pattern,
-    _cblof_sql) — strided init sample[(c*m)//k] over the first train_n
-    vec_ids (dense ids: the i-th sample row IS vec_id i), each step
-    assigns every sample vector by ROUNDED (4 dp, +1e-9) cosine with
+def _kmeans_asg_prefix(d: int = 64, nlist: int = 8, train_n: int = 128,
+                       iters: int = 20) -> str:
+    """Shared CTE prefix (no leading WITH): Lloyd k-means as a recursive
+    CTE whose state is the centroid list (the CBLOF pattern, _cblof_sql)
+    — strided init sample[(c*m)//k] over the first train_n vec_ids
+    (dense ids: the i-th sample row IS vec_id i), each step assigns
+    every sample vector by ROUNDED (4 dp, +1e-9) cosine with
     list_position-of-max first-wins (= numpy argmax smallest-list-id
     ties), re-averages elementwise in float64, and an empty cluster
     keeps its old centroid via the range-LEFT JOIN-coalesce. A fixed
-    {iters}-step unroll mirrors the engine's fixed iteration count
-    exactly. Then assignment / probe / exact top-k replay the engine's
-    rounded-cosine conventions relationally."""
+    ``iters``-step unroll mirrors the engine's fixed iteration count
+    exactly. Ends with `s` (every vector scored vs every centroid,
+    rounded cosine) and `asg` (the argmax assignment) — the relational
+    replay of similarity.kmeans_codebook + ivf_assign, shared by the
+    IVF-ANN and SemDeDup twins."""
     avgs = ", ".join(f"avg(x[{j + 1}])" for j in range(d))
-    return f"""
-WITH RECURSIVE samp AS MATERIALIZED (
+    return f"""samp AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
   FROM embeddings WHERE vec_id < {train_n}
 ),
@@ -1350,7 +1351,16 @@ asg AS (
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY ccos DESC, list_id) AS rn
     FROM s) WHERE rn = 1
-),
+)"""
+
+
+def _ivf_kmeans_sql(d: int = 64, nlist: int = 8, train_n: int = 128,
+                    iters: int = 20, k: int = 5, nprobe: int = 2) -> str:
+    """DuckDB twin of the TRAINED-codebook IVF path: the shared k-means +
+    assignment prefix (_kmeans_asg_prefix), then probe / exact top-k
+    replay the engine's rounded-cosine conventions relationally."""
+    return f"""
+WITH RECURSIVE {_kmeans_asg_prefix(d, nlist, train_n, iters)},
 probe AS (SELECT list_id FROM s WHERE vec_id = 0
           ORDER BY ccos DESC, list_id LIMIT {nprobe}),
 s2 AS (
@@ -4788,6 +4798,188 @@ def embedding_norm_stats(spark, sf_dir):
     )
 
 
+from tods_spark.operators import asof as ASOF  # noqa: E402
+
+
+@register(
+    "asof_enrich_1h",
+    """
+WITH tier AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         count(*) AS cnt,
+         round(round(sum(value) + 1e-9, 4) / count(*) + 1e-9, 4) + 0.0
+           AS avg_value
+  FROM events GROUP BY 1, 2
+),
+ev AS (
+  SELECT event_id, event_type, ts,
+         round(value + 1e-9, 4) + 0.0 AS value,
+         date_trunc('hour', ts) - INTERVAL 1 HOUR AS h
+  FROM events
+)
+SELECT ev.event_id, ev.event_type, ev.ts, ev.value,
+       t.window_start AS asof_window_start,
+       t.cnt AS asof_cnt,
+       t.avg_value AS asof_avg_value
+FROM ev ASOF JOIN tier t
+  ON ev.event_type = t.event_type AND ev.h >= t.window_start
+""",
+)
+def asof_enrich_1h(spark, sf_dir):
+    """As-of join (operators/asof.py): every event annotated with the last
+    CLOSED hourly rollup point for its event_type. Spark has no ASOF JOIN;
+    the engine's dense-grid + forward-fill + equi-join composition keeps
+    the 10^12-row side shuffle-free (scan → project → BroadcastHashJoin);
+    DuckDB twins it with its NATIVE ASOF JOIN — two entirely different
+    physical as-ofs, same rows. avg is rounded BEFORE the attach so both
+    engines carry identical doubles through the join."""
+    t = rollup.rollup_raw(_events(spark, sf_dir), "1h", value_col="value",
+                          keys=("event_type",))
+    tier = t.select(
+        "event_type", "window_start", "cnt",
+        _r4(_r4("sum_n_tok") / F.col("cnt")).alias("avg_value"),
+    )
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", "ts", _r4("value").alias("value")
+    )
+    return ASOF.asof_enrich(
+        ev, tier, keys=("event_type",), time_col="ts",
+        tier_time_col="window_start", step="1 hour",
+        value_cols=("cnt", "avg_value"),
+    )
+
+
+def _src_overlap_sql(k: int = 16) -> str:
+    """DuckDB twin of source_minhash_overlap: identical shingles, identical
+    universal-hash permutations, min taken over the source's UNION of
+    shingles directly (min distributes over union — the same identity the
+    engine's per-doc→per-source two-level min exploits)."""
+    av, bv = DD.minhash_coeffs(k)
+    p = DD.MINHASH_P
+    mins = ",\n         ".join(
+        f"min((h * {av[i]} + {bv[i]}) % {p}) AS h{i}" for i in range(k)
+    )
+    match = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return rf"""
+WITH sw AS (SELECT source, {_W_SQL} AS w FROM documents),
+sh AS (
+  SELECT source,
+         unnest(list_transform(range(len(w) - 2),
+                i -> array_to_string(list_slice(w, i+1, i+3), ' '))) AS shingle
+  FROM sw
+),
+hashed AS (SELECT source, ({DD.md5_h64_sql('shingle')} % {p}) AS h FROM sh),
+sig AS (
+  SELECT source,
+         {mins}
+  FROM hashed GROUP BY 1
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         ({match}) AS n_match
+  FROM sig a JOIN sig b ON a.source < b.source
+)
+SELECT source_a, source_b, n_match,
+       round(n_match / {float(k)} + 1e-9, 4) + 0.0 AS est_jaccard
+FROM pairs
+"""
+
+
+@register("source_minhash_overlap", _src_overlap_sql(k=16))
+def source_minhash_overlap_q(spark, sf_dir):
+    """Corpus-overlap audit (dedup.source_minhash_overlap): one MinHash
+    signature PER SOURCE (min over the union of its docs' shingles),
+    pairwise estimated Jaccard between source shards without ever joining
+    documents. The exchange is a map-side-combined min aggregate keyed on
+    source — the hot source collapses to one partial per task."""
+    out = DD.source_minhash_overlap(_docs(spark, sf_dir), k=16,
+                                    hash_fn="md5")
+    return out.select(
+        "source_a", "source_b", "n_match",
+        _r4("est_jaccard").alias("est_jaccard"),
+    )
+
+
+def _semdedup_sql(tau: float, nlist: int = 8, train_n: int = 128,
+                  iters: int = 20) -> str:
+    """DuckDB twin of semdedup_pairs: the shared k-means + assignment
+    prefix (_kmeans_asg_prefix — identical codebook, identical rounded-
+    cosine argmax assignment), then the within-cluster pairwise rounded
+    cosine replayed relationally."""
+    return f"""
+WITH RECURSIVE {_kmeans_asg_prefix(64, nlist, train_n, iters)},
+ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+pr AS (
+  SELECT aa.vec_id AS id_a, ab.vec_id AS id_b, aa.list_id AS cluster_id,
+         round(list_dot_product(a.x, b.x)
+               / (sqrt(list_dot_product(a.x, a.x))
+                  * sqrt(list_dot_product(b.x, b.x)))
+               + 1e-9, 4) + 0.0 AS cosine
+  FROM asg aa
+  JOIN asg ab ON aa.list_id = ab.list_id AND aa.vec_id < ab.vec_id
+  JOIN ed a ON a.vec_id = aa.vec_id
+  JOIN ed b ON b.vec_id = ab.vec_id
+)
+SELECT id_a, id_b, cluster_id, cosine FROM pr WHERE cosine >= {tau}
+"""
+
+
+@register("semdedup_pairs_t35", _semdedup_sql(tau=0.35))
+def semdedup_pairs_t35(spark, sf_dir):
+    """SemDeDup (similarity.semdedup_pairs, arXiv:2303.09540): semantic
+    near-dup pairs found by confining the pairwise cosine to k-means
+    clusters (the trained IVF codebook). tau=0.35 here because the
+    synthetic embeddings' max pairwise cosine is ~0.51 — the paper's 0.95
+    default would make the twin a trivially-empty check; the operator
+    default stays 0.95."""
+    out = SIM.semdedup_pairs(_emb(spark, sf_dir), tau=0.35, nlist=8,
+                             train_n=128, iters=20)
+    return out.select(
+        "id_a", "id_b", "cluster_id", _r4("cosine").alias("cosine")
+    )
+
+
+@register(
+    "source_word_kl",
+    rf"""
+WITH tok AS (SELECT source AS src, unnest({_W_SQL}) AS word FROM documents),
+per AS (SELECT src, word, count(*) AS c FROM tok GROUP BY 1, 2),
+stot AS (SELECT src, sum(c) AS n_src FROM per GROUP BY 1),
+corpus AS (SELECT word, sum(c) AS cc FROM per GROUP BY 1),
+ctot AS (SELECT sum(c) AS n_corpus FROM per),
+kl AS (
+  SELECT p.src,
+         sum((p.c * 1.0 / s.n_src)
+             * log2((p.c * 1.0 / s.n_src) / (co.cc * 1.0 / ct.n_corpus)))
+           AS klv,
+         count(*) AS ndw
+  FROM per p
+  JOIN corpus co ON p.word = co.word
+  JOIN stot s ON p.src = s.src, ctot ct
+  GROUP BY 1
+)
+SELECT k.src AS source,
+       CAST(s.n_src AS BIGINT) AS n_words,
+       CAST(k.ndw AS BIGINT) AS n_distinct_words,
+       round(k.klv + 1e-9, 4) + 0.0 AS kl_bits
+FROM kl k JOIN stot s ON k.src = s.src
+""",
+)
+def source_word_kl_q(spark, sf_dir):
+    """Per-source unigram drift vs the corpus mixture, KL(p_src||p_corpus)
+    in bits (text.source_word_kl). The aggregate is keyed on the
+    (source, word) composite — vocabulary-keyed, so the 70%-hot source
+    spreads over its whole vocabulary instead of one reducer."""
+    out = TX.source_word_kl(_docs(spark, sf_dir))
+    return out.select(
+        "source", "n_words", "n_distinct_words",
+        _r4("kl_bits").alias("kl_bits"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order = driver evidence budget. The driver's correctness
 # gate checks the FIRST 50 registered queries (list(queries())[:50], same
@@ -4804,8 +4996,8 @@ _DRIVER_WINDOW_FIRST = [
     #    (auto_correlation_nlags20, detect_abod — IEEE -0.0 artifact,
     #    fixed by the +0.0 canonicalization) flip green
     "auto_correlation_nlags20",
-    "stat_abs_sum_w5", "stat_variation_w5", "stat_gmean_w5", "stat_hmean_w5",
-    "stat_matd_w5", "stat_skew_w5", "stat_kurtosis_w5", "stat_mad_w5",
+    "stat_gmean_w5", "stat_hmean_w5",
+    "stat_skew_w5", "stat_kurtosis_w5",
     "detect_hbos", "system_wise_voting", "evaluate_metrics",
     "bk_filter_cycle",
     # -- twins first checked in round 3 (the 2-day holt_winters_auto
@@ -4844,6 +5036,13 @@ _DRIVER_WINDOW_FIRST = [
     # -- round 5 batch 4 (slots from 2x-green continuity_ablation,
     #    detect_loda)
     "lang_id_agreement", "embedding_norm_stats",
+    # -- round 5 batch 5: the session-I twins (no driver row yet); slots
+    #    from four 2x-driver-green (r03+r04) stat-window entries
+    #    (stat_abs_sum_w5, stat_variation_w5, stat_matd_w5, stat_mad_w5 —
+    #    same windows.py code path as the in-window gmean/hmean/skew/
+    #    kurtosis/mean entries, so the family stays driver-covered)
+    "asof_enrich_1h", "source_minhash_overlap", "semdedup_pairs_t35",
+    "source_word_kl",
     "holt_winters_auto",
 ]
 # displaced round 5 continued (each 2x driver-green r3+r4): ses_smoothing,
