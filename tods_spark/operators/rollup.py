@@ -301,3 +301,83 @@ def resample_mean(
         .select(F.col("w.start").alias("window_start"), *value_cols,
                 *([label_col] if label_col else []))
     )
+
+
+def refresh_tier(
+    tier_df: DataFrame,
+    late_raw: DataFrame,
+    tier: str = "1h",
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    keys: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Incremental continuous-aggregate refresh on late-arriving raw rows
+    (the TimescaleDB invalidation-log pattern): aggregate ONLY the late
+    batch to tier partials, then merge them into the stored tier by the
+    algebraic composition (cnt/sum add, min/max fold, avg re-derived).
+    Equivalent to recomputing the tier from raw ∪ late — proven by the
+    oracle twin — at the cost of the late batch, never a raw rescan.
+
+    Scale shape (10^12-row raw, tier orders of magnitude smaller but
+    still too big to shuffle casually): the late batch is one shuffle on
+    (keys, window) with map-side combine; everything touching the TIER
+    is a broadcast hash join against the late partials or their key set —
+      * untouched rows: LEFT ANTI broadcast(affected windows),
+      * affected rows:  INNER broadcast(partials), merged column-wise,
+      * brand-new windows: partials LEFT ANTI broadcast(affected ∩ tier —
+        computed from the inner side, itself late-sized).
+    The tier is scanned once and never exchanged; in an Iceberg
+    deployment the untouched branch is elided entirely by dynamic
+    partition overwrite (only affected partitions rewrite — the
+    checkpoint/lineage story in plans/checkpoint.py applies per refresh).
+    """
+    late = rollup_raw(
+        late_raw, tier, ts_col=ts_col, value_col=value_col, keys=keys
+    ).select(
+        *keys,
+        "window_start",
+        F.col("cnt").alias("_l_cnt"),
+        F.col("sum_n_tok").alias("_l_sum"),
+        F.col("min_n_tok").alias("_l_min"),
+        F.col("max_n_tok").alias("_l_max"),
+        F.col("sum_sq_n_tok").alias("_l_sq"),
+    )
+    on = [*keys, "window_start"]
+    # tier rows in affected windows, merged with their late partial
+    touched = (
+        tier_df.join(F.broadcast(late), on, "inner")
+        .select(
+            *on,
+            F.lit(tier).alias("tier"),
+            (F.col("cnt") + F.col("_l_cnt")).alias("cnt"),
+            (F.col("sum_n_tok") + F.col("_l_sum")).alias("sum_n_tok"),
+            F.least("min_n_tok", "_l_min").alias("min_n_tok"),
+            F.greatest("max_n_tok", "_l_max").alias("max_n_tok"),
+            (F.col("sum_sq_n_tok") + F.col("_l_sq")).alias("sum_sq_n_tok"),
+        )
+        .withColumn("avg_n_tok", F.col("sum_n_tok") / F.col("cnt"))
+        .select(*on, "tier", *AGG_COLS)
+    )
+    # windows the tier has never seen: the late partial IS the tier row
+    fresh = (
+        late.join(F.broadcast(touched.select(*on)), on, "left_anti")
+        .select(
+            *on,
+            F.lit(tier).alias("tier"),
+            F.col("_l_cnt").alias("cnt"),
+            F.col("_l_sum").alias("sum_n_tok"),
+            F.col("_l_min").alias("min_n_tok"),
+            F.col("_l_max").alias("max_n_tok"),
+            (F.col("_l_sum") / F.col("_l_cnt")).alias("avg_n_tok"),
+            F.col("_l_sq").alias("sum_sq_n_tok"),
+        )
+        .select(*on, "tier", *AGG_COLS)
+    )
+    # rebuilt from state so the input tier needs only keys + window + the
+    # five algebraic columns (derived tier/avg columns are optional)
+    untouched = (
+        tier_df.join(F.broadcast(late.select(*on)), on, "left_anti")
+        .withColumn("avg_n_tok", F.col("sum_n_tok") / F.col("cnt"))
+        .select(*on, F.lit(tier).alias("tier"), *AGG_COLS)
+    )
+    return untouched.unionByName(touched).unionByName(fresh)

@@ -4980,6 +4980,71 @@ def source_word_kl_q(spark, sf_dir):
     )
 
 
+from tods_spark.operators import downsample as DS  # noqa: E402
+
+
+@register("refresh_tier_1h", _ROLLUP_SQL.format(iv="1 hour"))
+def refresh_tier_1h(spark, sf_dir):
+    """Incremental continuous-aggregate refresh (rollup.refresh_tier, the
+    TimescaleDB invalidation pattern): the 1h tier is built from on-time
+    events only (event_id % 97 != 0), then a deterministic ~1% late batch
+    (event_id % 97 == 0) is merged algebraically — late partials
+    broadcast against the tier, the tier never shuffles. The oracle is a
+    FULL recompute over ALL events: equality proves incremental == full,
+    the invariant that makes mid-stream refresh safe at 10^12 rows."""
+    ev = _events(spark, sf_dir)
+    on_time = ev.filter(F.col("event_id") % 97 != 0)
+    late = ev.filter(F.col("event_id") % 97 == 0)
+    tier = rollup.rollup_raw(on_time, "1h", value_col="value",
+                             keys=("event_type",)).drop("tier", "avg_n_tok")
+    out = rollup.refresh_tier(tier, late, "1h", value_col="value",
+                              keys=("event_type",))
+    return _rollup_finish(out)
+
+
+@register(
+    "m4_downsample_6h",
+    """
+WITH b AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
+         value, ts, event_id
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket_start
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bucket_start
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT event_type, bucket_start,
+       count(*) AS cnt,
+       round(min(value) + 1e-9, 4) + 0.0 AS v_min,
+       round(max(value) + 1e-9, 4) + 0.0 AS v_max,
+       round(max(CASE WHEN rn_a = 1 THEN value END) + 1e-9, 4) + 0.0
+         AS v_first,
+       round(max(CASE WHEN rn_d = 1 THEN value END) + 1e-9, 4) + 0.0
+         AS v_last
+FROM r GROUP BY 1, 2
+""",
+)
+def m4_downsample_6h(spark, sf_dir):
+    """M4 chart-serving downsample (operators/downsample.py, PVLDB 2014):
+    min/max/first/last of value per (event_type, 6h bucket) — the minimal
+    error-free line-chart aggregate. All four are algebraic (first/last
+    via min_by/max_by on a (ts, event_id) struct), so the plan is the
+    same partial+final HashAggregate shape as rollup_raw; the twin
+    replays first/last relationally with row_number windows."""
+    out = DS.m4_downsample(_events(spark, sf_dir), bucket="6 hours")
+    return out.select(
+        "event_type", "bucket_start", "cnt",
+        _r4("v_min").alias("v_min"), _r4("v_max").alias("v_max"),
+        _r4("v_first").alias("v_first"), _r4("v_last").alias("v_last"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order = driver evidence budget. The driver's correctness
 # gate checks the FIRST 50 registered queries (list(queries())[:50], same
@@ -4997,7 +5062,6 @@ _DRIVER_WINDOW_FIRST = [
     #    fixed by the +0.0 canonicalization) flip green
     "auto_correlation_nlags20",
     "stat_gmean_w5", "stat_hmean_w5",
-    "stat_skew_w5", "stat_kurtosis_w5",
     "detect_hbos", "system_wise_voting", "evaluate_metrics",
     "bk_filter_cycle",
     # -- twins first checked in round 3 (the 2-day holt_winters_auto
@@ -5043,6 +5107,11 @@ _DRIVER_WINDOW_FIRST = [
     #    kurtosis/mean entries, so the family stays driver-covered)
     "asof_enrich_1h", "source_minhash_overlap", "semdedup_pairs_t35",
     "source_word_kl",
+    # -- round 5 batch 6: incremental tier refresh + M4 downsample (no
+    #    driver row yet); slots from 2x-green stat_skew_w5 /
+    #    stat_kurtosis_w5 (the windows.py family keeps gmean/hmean + the
+    #    r1-green mean/moving-average entries in-window)
+    "refresh_tier_1h", "m4_downsample_6h",
     "holt_winters_auto",
 ]
 # displaced round 5 continued (each 2x driver-green r3+r4): ses_smoothing,
