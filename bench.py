@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "dedup_exact_groups",
     "ann_cosine_top5",
     "doc_quality",
+    # round-5 serving-path additions (new entries — suite totals are not
+    # comparable to r4 and earlier; per-query values are): tier as-of
+    # enrich and M4 chart downsample, both expression-only plans
+    "asof_enrich_1h",
+    "m4_downsample_6h",
     "minhash_lsh_candidates",
     "minhash_lsh_candidates_xxh64",
     # end-to-end near-dup clustering (LSH pairs -> connected components ->

@@ -191,3 +191,165 @@ def test_m4_fast_path_matches_default_on_unique_ts(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def _counter_events(n_per_key=400, seed=17):
+    """A TRUE cumulative counter per key with planted resets: positive
+    increments accumulate, and the counter drops back near zero at the
+    planted reset points (a restarted process)."""
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-02-01")
+    frames = []
+    eid = 0
+    for k in ("a", "b"):
+        ts = base + pd.to_timedelta(
+            np.sort(rng.integers(0, 4 * 86400, n_per_key)), "s"
+        )
+        inc = rng.uniform(0.1, 5, n_per_key)
+        v = np.cumsum(inc)
+        # resets spaced >= 5 samples apart and away from the ends, so each
+        # planted drop has a strictly larger predecessor (counts exactly)
+        for r in rng.choice(np.arange(50, n_per_key - 50, 5), 3,
+                            replace=False):
+            v[r:] -= v[r]  # reset to 0 at sample r, keep accumulating
+        frames.append(
+            pd.DataFrame(
+                {
+                    "event_id": np.arange(eid, eid + n_per_key),
+                    "event_type": k,
+                    "ts": ts,
+                    "value": v.round(4),
+                }
+            )
+        )
+        eid += n_per_key
+    return pd.concat(frames, ignore_index=True)
+
+
+def _expected_increase(pdf: pd.DataFrame, freq="6h") -> pd.DataFrame:
+    """Ground truth via the naive encoding: global per-key (ts, id) sort,
+    adjacent diffs clamped at zero, grouped by the CURRENT sample's
+    bucket (boundary delta lands in the later bucket)."""
+    pdf = pdf.sort_values(["event_type", "ts", "event_id"]).copy()
+    pdf["pv"] = pdf.groupby("event_type").value.shift()
+    pdf["inc"] = (pdf.value - pdf.pv).clip(lower=0).fillna(0.0)
+    pdf["reset"] = ((pdf.value < pdf.pv) & pdf.pv.notna()).astype(int)
+    pdf["bucket_start"] = pdf.ts.dt.floor(freq)
+    g = pdf.groupby(["event_type", "bucket_start"])
+    out = g.agg(
+        n_samples=("value", "size"),
+        increase=("inc", "sum"),
+        n_resets=("reset", "sum"),
+        v_first=("value", "first"),
+        v_last=("value", "last"),
+    ).reset_index()
+    return out.sort_values(["event_type", "bucket_start"]).reset_index(
+        drop=True
+    )
+
+
+def test_counter_increase_matches_naive_lag(spark):
+    pdf = _counter_events()
+    got = (
+        DS.counter_increase(spark.createDataFrame(pdf), bucket="6 hours")
+        .toPandas()
+        .sort_values(["event_type", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    exp = _expected_increase(pdf)
+    got["increase"] = got.increase.round(6)
+    exp["increase"] = exp.increase.round(6)
+    pd.testing.assert_frame_equal(
+        got[exp.columns], exp, check_dtype=False
+    )
+    assert got.n_resets.sum() == 6  # 3 planted resets x 2 keys
+
+
+def test_counter_increase_boundary_goes_to_later_bucket(spark):
+    t0 = pd.Timestamp("2024-02-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "event_type": ["a"] * 4,
+            # two samples in bucket 0, two in bucket 1 (6h buckets)
+            "ts": [t0, t0 + pd.Timedelta(hours=1),
+                   t0 + pd.Timedelta(hours=7), t0 + pd.Timedelta(hours=8)],
+            "value": [10.0, 15.0, 40.0, 41.0],
+        }
+    )
+    got = (
+        DS.counter_increase(spark.createDataFrame(pdf), bucket="6 hours")
+        .toPandas()
+        .sort_values("bucket_start")
+        .reset_index(drop=True)
+    )
+    # bucket 0: 15-10 = 5 (no predecessor bucket -> no boundary term)
+    # bucket 1: (40-15 boundary) + (41-40 within) = 26
+    assert got.increase.tolist() == [5.0, 26.0]
+    assert got.n_resets.tolist() == [0, 0]
+
+
+def test_counter_increase_window_runs_over_bucket_table_only(spark):
+    """Scale claim: the only Window in the plan runs AFTER the per-bucket
+    aggregate (tier-sized input), never over raw samples."""
+    pdf = _counter_events(200)
+    out = DS.counter_increase(spark.createDataFrame(pdf), bucket="6 hours")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 1
+    # physical plans print top-down: the Window must appear ABOVE
+    # (before, in string order) the aggregate that feeds it
+    assert plan.index("Window") < plan.index("Aggregate")
+
+
+def test_streaming_m4_matches_batch(spark, tmp_path):
+    """Streaming M4 (append mode, watermark-finalized buckets) emits
+    row-identical output to the batch fast path for every finalized
+    bucket — a consumer can backfill from batch M4 and tail the stream."""
+    from tods_spark.streaming.rollup_stream import streaming_m4
+
+    src = str(tmp_path / "m4_stream_src")
+    pdf = _events(1200, seed=33).drop_duplicates(subset=["ts"])
+    # arrive in event-time order (Kafka-like ingest): ascending-time
+    # chunks written sequentially, so the watermark advances with the
+    # stream instead of jumping to max(ts) on the first micro-batch
+    for chunk in np.array_split(pdf.sort_values("ts"), 5):
+        spark.createDataFrame(chunk).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    batch = (
+        DS.m4_downsample(
+            spark.read.parquet(src), bucket="1 hour", tie_col=None
+        )
+        .orderBy("event_type", "bucket_start")
+        .toPandas()
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_m4(stream, bucket="1 hour", watermark="2 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("m4_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = (
+        spark.sql("SELECT * FROM m4_stream")
+        .orderBy("event_type", "bucket_start")
+        .toPandas()
+    )
+    assert len(streamed) >= 0.9 * len(batch)
+    merged = streamed.merge(
+        batch, on=["event_type", "bucket_start"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(streamed)
+    for c in ("cnt", "v_min", "v_max", "v_first", "v_last"):
+        np.testing.assert_array_equal(
+            merged[f"{c}_s"].values, merged[f"{c}_b"].values, err_msg=c
+        )

@@ -73,3 +73,95 @@ def m4_downsample(
             "v_last",
         )
     )
+
+
+def counter_increase(
+    df: DataFrame,
+    bucket: str = "6 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: tuple[str, ...] = ("event_type",),
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Prometheus-style ``increase()`` over a cumulative counter, per
+    (keys, tumbling bucket), with counter-reset detection: the increase
+    is the sum of positive adjacent-sample deltas in ts order (a
+    negative delta is a counter RESET — a restarted process — and
+    contributes 0, not a negative), and the delta across each bucket
+    boundary (first sample of the bucket vs last sample of the previous
+    bucket) is attributed to the LATER bucket.
+
+    Adjacent-sample deltas are inherently sequential per key — the naive
+    encoding is a lag window over ALL samples per key, a per-key global
+    sort. Two-phase split instead (the pack_sequences pattern):
+      1. WITHIN each (keys, bucket): one shuffle groups the bucket's
+         samples; a codegen'd sorted-array fold computes the in-bucket
+         increase, reset count, and boundary samples (v_first/v_last).
+         Per-group cost is bounded by samples-per-bucket — a cadence
+         contract (e.g. 1 sample/15 s => <= 5760 rows per 1d bucket),
+         the same calendar-boundedness the rollup tiers rely on.
+      2. ACROSS buckets: a lag window over the BUCKET table only
+         (|keys| x |calendar buckets| rows, tier-sized) adds the
+         boundary delta; a missing predecessor bucket contributes 0
+         (Prometheus's behavior at series start / after a gap).
+
+    Output: keys, bucket_start, n_samples, increase, n_resets,
+    v_first, v_last.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    samp = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(tie_col).alias("tie"),
+        v.alias("v"),
+    )
+    per_bucket = (
+        df.groupBy(*keys, F.window(ts_col, bucket).alias("w"))
+        .agg(F.sort_array(F.collect_list(samp)).alias("_s"))
+        .select(
+            *keys,
+            F.col("w.start").alias("bucket_start"),
+            F.size("_s").alias("n_samples"),
+            F.element_at("_s", 1)["v"].alias("v_first"),
+            F.element_at("_s", -1)["v"].alias("v_last"),
+            F.aggregate(
+                F.slice(F.col("_s"), 2, F.greatest(F.size("_s") - 1, F.lit(0))),
+                F.struct(
+                    F.element_at("_s", 1)["v"].alias("prev"),
+                    F.lit(0.0).alias("inc"),
+                    F.lit(0).alias("resets"),
+                ),
+                lambda a, x: F.struct(
+                    x["v"].alias("prev"),
+                    (a["inc"] + F.greatest(x["v"] - a["prev"], F.lit(0.0)))
+                    .alias("inc"),
+                    (a["resets"]
+                     + F.when(x["v"] < a["prev"], 1).otherwise(0))
+                    .alias("resets"),
+                ),
+            ).alias("_acc"),
+        )
+        .select(
+            *keys, "bucket_start", "n_samples", "v_first", "v_last",
+            F.col("_acc.inc").alias("_in_inc"),
+            F.col("_acc.resets").alias("_in_resets"),
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy("bucket_start")
+    prev_last = F.lag("v_last").over(w)
+    boundary = F.when(
+        prev_last.isNull(), F.lit(0.0)
+    ).otherwise(F.greatest(F.col("v_first") - prev_last, F.lit(0.0)))
+    boundary_reset = F.when(
+        prev_last.isNotNull() & (F.col("v_first") < prev_last), 1
+    ).otherwise(0)
+    return per_bucket.select(
+        *keys,
+        "bucket_start",
+        "n_samples",
+        (F.col("_in_inc") + boundary).alias("increase"),
+        (F.col("_in_resets") + boundary_reset).alias("n_resets"),
+        "v_first",
+        "v_last",
+    )

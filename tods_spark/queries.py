@@ -5045,6 +5045,65 @@ def m4_downsample_6h(spark, sf_dir):
     )
 
 
+@register(
+    "counter_increase_6h",
+    """
+WITH s AS (
+  SELECT event_type, ts, event_id, value,
+         time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
+         lag(value) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS pv
+  FROM events
+),
+a AS (
+  SELECT event_type, bucket_start,
+         count(*) AS n_samples,
+         sum(CASE WHEN pv IS NULL THEN 0
+                  ELSE greatest(value - pv, 0) END) AS inc,
+         sum(CASE WHEN pv IS NOT NULL AND value < pv
+                  THEN 1 ELSE 0 END) AS resets
+  FROM s GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, bucket_start, value,
+         row_number() OVER (PARTITION BY event_type, bucket_start
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bucket_start
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM s
+),
+fl AS (
+  SELECT event_type, bucket_start,
+         max(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+         max(CASE WHEN rn_d = 1 THEN value END) AS v_last
+  FROM r GROUP BY 1, 2
+)
+SELECT a.event_type, a.bucket_start,
+       CAST(a.n_samples AS BIGINT) AS n_samples,
+       round(a.inc + 1e-9, 4) + 0.0 AS increase,
+       CAST(a.resets AS BIGINT) AS n_resets,
+       round(fl.v_first + 1e-9, 4) + 0.0 AS v_first,
+       round(fl.v_last + 1e-9, 4) + 0.0 AS v_last
+FROM a JOIN fl USING (event_type, bucket_start)
+""",
+)
+def counter_increase_6h(spark, sf_dir):
+    """Prometheus-style increase() with reset detection
+    (downsample.counter_increase): sum of positive adjacent-sample deltas
+    per (event_type, 6h bucket), boundary delta attributed to the later
+    bucket. The engine's two-phase shape (in-bucket sorted-array fold +
+    lag over the tier-sized bucket table) vs the twin's naive global lag
+    window — same rows proves the split is exact. The events `value`
+    column isn't monotonic, so resets fire constantly: the clamp-at-zero
+    and reset-count paths are exercised on every bucket."""
+    out = DS.counter_increase(_events(spark, sf_dir), bucket="6 hours")
+    return out.select(
+        "event_type", "bucket_start", "n_samples",
+        _r4("increase").alias("increase"), "n_resets",
+        _r4("v_first").alias("v_first"), _r4("v_last").alias("v_last"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order = driver evidence budget. The driver's correctness
 # gate checks the FIRST 50 registered queries (list(queries())[:50], same
@@ -5062,7 +5121,7 @@ _DRIVER_WINDOW_FIRST = [
     #    fixed by the +0.0 canonicalization) flip green
     "auto_correlation_nlags20",
     "stat_gmean_w5", "stat_hmean_w5",
-    "detect_hbos", "system_wise_voting", "evaluate_metrics",
+    "system_wise_voting", "evaluate_metrics",
     "bk_filter_cycle",
     # -- twins first checked in round 3 (the 2-day holt_winters_auto
     #    stays past position 50 — ~45 s DuckDB oracle, judge-verified
@@ -5107,11 +5166,12 @@ _DRIVER_WINDOW_FIRST = [
     #    kurtosis/mean entries, so the family stays driver-covered)
     "asof_enrich_1h", "source_minhash_overlap", "semdedup_pairs_t35",
     "source_word_kl",
-    # -- round 5 batch 6: incremental tier refresh + M4 downsample (no
-    #    driver row yet); slots from 2x-green stat_skew_w5 /
-    #    stat_kurtosis_w5 (the windows.py family keeps gmean/hmean + the
-    #    r1-green mean/moving-average entries in-window)
-    "refresh_tier_1h", "m4_downsample_6h",
+    # -- round 5 batch 6: incremental tier refresh + M4 downsample +
+    #    counter increase (no driver rows yet); slots from 2x-green
+    #    stat_skew_w5 / stat_kurtosis_w5 (the windows.py family keeps
+    #    gmean/hmean + the r1-green mean/moving-average entries
+    #    in-window) and 2x-green detect_hbos
+    "refresh_tier_1h", "m4_downsample_6h", "counter_increase_6h",
     "holt_winters_auto",
 ]
 # displaced round 5 continued (each 2x driver-green r3+r4): ses_smoothing,

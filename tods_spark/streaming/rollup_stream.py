@@ -180,3 +180,46 @@ def streaming_dedup(
     return stream_df.withWatermark(
         event_time_col, delay
     ).dropDuplicatesWithinWatermark(list(id_cols))
+
+
+def streaming_m4(
+    stream_df: DataFrame,
+    bucket: str = "6 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str = "2 minutes",
+):
+    """Streaming twin of operators/downsample.m4_downsample (ts-only
+    ordering — the fast path; a tie column would need a struct min_by
+    buffer, which streaming state stores handle but at a bigger state
+    row). Each finalized bucket emits exactly one (min, max, first,
+    last) row in append mode: the live-dashboard feed for the chart
+    serving path, same schema as the batch op so a consumer can backfill
+    history from batch M4 and tail the stream seamlessly.
+
+    State per (keys, bucket) is five scalars + the ordering epoch —
+    constant per window like the rollup tiers, bounded by the watermark
+    horizon."""
+    v = F.col(value_col).cast("double")
+    order = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.window(ts_col, bucket).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(v).alias("v_min"),
+            F.max(v).alias("v_max"),
+            F.min_by(v, order).alias("v_first"),
+            F.max_by(v, order).alias("v_last"),
+        )
+        .select(
+            *keys,
+            F.col("w.start").alias("bucket_start"),
+            "cnt",
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+        )
+    )
