@@ -353,3 +353,72 @@ def test_streaming_m4_matches_batch(spark, tmp_path):
         np.testing.assert_array_equal(
             merged[f"{c}_s"].values, merged[f"{c}_b"].values, err_msg=c
         )
+
+
+def test_value_histogram_matches_numpy(spark):
+    pdf = _events(2500, seed=41)
+    got = (
+        DS.value_histogram(
+            spark.createDataFrame(pdf), bucket="1 day", bins=8,
+            lo=0.0, hi=40.0
+        )
+        .toPandas()
+        .sort_values(["event_type", "bucket_start", "bin"])
+        .reset_index(drop=True)
+    )
+    pdf = pdf.copy()
+    pdf["bucket_start"] = pdf.ts.dt.floor("1D")
+    pdf["bin"] = np.clip(np.floor(pdf.value / 5.0), 0, 7).astype(int)
+    exp = (
+        pdf.groupby(["event_type", "bucket_start", "bin"])
+        .size()
+        .rename("cnt")
+        .reset_index()
+        .sort_values(["event_type", "bucket_start", "bin"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # edge convention: below-range values in bin 0, >= hi in the top bin
+    assert (got.bin >= 0).all() and (got.bin <= 7).all()
+    assert got.cnt.sum() == len(pdf)
+
+
+def test_distinct_rollup_cascade_equals_direct_and_bounds_error(spark):
+    """HLL union is register-exact: the 1m→1h cascade estimate must EQUAL
+    the direct 1h sketch estimate (not approximately); both must sit
+    within the standard HLL error of the true distinct count."""
+    pdf = _events(4000, seed=55)
+    rng = np.random.default_rng(5)
+    pdf["user_id"] = rng.integers(0, 500, len(pdf))
+    df = spark.createDataFrame(pdf)
+    t1m = rollup.rollup_distinct(df, "1m", id_col="user_id",
+                                 keys=("event_type",))
+    casc = (
+        rollup.rollup_distinct_cascade(t1m, "1m", "1h",
+                                       keys=("event_type",))
+        .select("event_type", "window_start", "n_distinct_est")
+        .toPandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        rollup.rollup_distinct(df, "1h", id_col="user_id",
+                               keys=("event_type",))
+        .select("event_type", "window_start", "n_distinct_est")
+        .toPandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(casc, direct)
+    pdf["window_start"] = pdf.ts.dt.floor("1h")
+    truth = (
+        pdf.groupby(["event_type", "window_start"])
+        .user_id.nunique()
+        .rename("true_d")
+        .reset_index()
+    )
+    m = casc.merge(truth, on=["event_type", "window_start"])
+    assert len(m) == len(casc)
+    rel = np.abs(m.n_distinct_est - m.true_d) / np.maximum(m.true_d, 1)
+    # lg_k=12 -> sigma ~1.6%; allow 5 sigma on small windows
+    assert rel.max() < 0.09

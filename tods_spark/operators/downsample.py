@@ -165,3 +165,53 @@ def counter_increase(
         "v_first",
         "v_last",
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    bucket: str = "1 day",
+    bins: int = 8,
+    lo: float = 0.0,
+    hi: float = 40.0,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Fixed-bin value histogram per (keys, tumbling bucket) — the
+    density/heatmap serving aggregate (each bucket renders as a column
+    of shaded bins; the fixed [lo, hi) grid makes buckets comparable
+    across time and keys, which data-dependent quantile bins would not).
+
+    Bin rule: floor((v - lo) / width) clamped to [0, bins-1] — values
+    below `lo` land in bin 0, values >= `hi` in the top bin (standard
+    histogram edge convention for monitoring heatmaps). Output is one
+    row per (keys, bucket, bin) with its count — the exploded form
+    joins/filters naturally and twins exactly in SQL.
+
+    Scale shape: a pure partial+final hash aggregate on (keys, bucket,
+    bin) — the bin id widens the group key the same way the vocabulary
+    widens n-gram aggregates, so a hot key spreads over bins x buckets;
+    shuffle volume is one row per populated (key, bucket, bin) per task.
+    Empty bins are omitted (serving layers coalesce(0) on read): at
+    10^12 rows emitting zero rows for empty cells would multiply the
+    output by bins for no information.
+    """
+    width = (hi - lo) / bins
+    v = F.col(value_col).cast("double")
+    bin_id = F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
+        ),
+        F.lit(bins - 1),
+    )
+    return (
+        df.groupBy(
+            *keys,
+            F.window(ts_col, bucket).alias("w"),
+            bin_id.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *keys, F.col("w.start").alias("bucket_start"), "bin", "cnt"
+        )
+    )

@@ -381,3 +381,64 @@ def refresh_tier(
         .select(*on, F.lit(tier).alias("tier"), *AGG_COLS)
     )
     return untouched.unionByName(touched).unionByName(fresh)
+
+
+def rollup_distinct(
+    df: DataFrame,
+    tier: str = "1m",
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    keys: tuple[str, ...] = ("event_type",),
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-count continuous aggregate: an HLL sketch of ``id_col``
+    per (keys, window) — `hll_sketch_agg` (Apache DataSketches, built
+    into Spark >= 3.5). COUNT(DISTINCT) is not algebraic, so it cannot
+    ride the (cnt/sum/min/max) tier state; the sketch is its mergeable
+    stand-in: tier N+1 unions tier N's sketches (`rollup_distinct_cascade`)
+    and the union is REGISTER-EXACT — union(sketch(A), sketch(B)) has
+    byte-identical state to sketch(A ∪ B) — so the cascade estimate
+    equals the direct estimate exactly, not approximately (pytest-
+    asserted). Error vs the TRUE distinct count is the standard HLL
+    bound (~1.04/sqrt(2^lg_k) ≈ 1.6% at lg_k=12, ~2.5 KB per window).
+
+    Scale shape: identical to rollup_raw — one shuffle with map-side
+    partial sketches (each task ships <= windows-per-task sketches, never
+    rows); the cascade is a tier-sized union. This is the engine answer
+    to "how many distinct sequences/users per window at 10^12 rows" —
+    an exact distinct would shuffle every id."""
+    return (
+        df.groupBy(*keys, F.window(ts_col, TIER_INTERVAL[tier]).alias("w"))
+        .agg(F.hll_sketch_agg(id_col, F.lit(lg_k)).alias("hll"))
+        .select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            F.lit(tier).alias("tier"),
+            "hll",
+            F.hll_sketch_estimate("hll").alias("n_distinct_est"),
+        )
+    )
+
+
+def rollup_distinct_cascade(
+    tier_df: DataFrame,
+    from_tier: str,
+    to_tier: str,
+    keys: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """tier N -> tier N+1 for the distinct sketch: union the child
+    windows' HLL registers (max per register — associative, commutative,
+    idempotent, hence also safe under retried/duplicated tier rows)."""
+    assert TIER_SECONDS[to_tier] % TIER_SECONDS[from_tier] == 0
+    parent = F.window("window_start", TIER_INTERVAL[to_tier])["start"]
+    return (
+        tier_df.groupBy(*keys, parent.alias("window_start"))
+        .agg(F.hll_union_agg("hll").alias("hll"))
+        .select(
+            *keys,
+            "window_start",
+            F.lit(to_tier).alias("tier"),
+            "hll",
+            F.hll_sketch_estimate("hll").alias("n_distinct_est"),
+        )
+    )

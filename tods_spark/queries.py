@@ -5104,6 +5104,48 @@ def counter_increase_6h(spark, sf_dir):
     )
 
 
+@register(
+    "value_histogram_1d",
+    """
+SELECT event_type,
+       time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+       CAST(least(greatest(floor(value / 5.0), 0), 7) AS INT) AS bin,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def value_histogram_1d(spark, sf_dir):
+    """Heatmap serving aggregate (downsample.value_histogram): fixed-bin
+    [0, 40) x 8 value histogram per (event_type, day) in exploded
+    (key, bucket, bin, cnt) form. The bin id widens the group key, so the
+    aggregate spreads a hot key over bins x buckets — pure partial+final
+    hash aggregate, one shuffle."""
+    out = DS.value_histogram(
+        _events(spark, sf_dir), bucket="1 day", bins=8, lo=0.0, hi=40.0
+    )
+    return out.select("event_type", "bucket_start", "bin", "cnt")
+
+
+@register("distinct_users_1h_cascade")  # rows-only: DataSketches HLL has
+# no DuckDB replica — exactness of the CASCADE (union == direct, register-
+# exact) and the error bound vs true distinct are pytest-asserted instead
+# (tests/test_refresh_m4.py)
+def distinct_users_1h_cascade(spark, sf_dir):
+    """Distinct-count continuous aggregate (rollup.rollup_distinct +
+    rollup_distinct_cascade): HLL sketch of user_id per (event_type, 1m),
+    unioned to 1h — COUNT(DISTINCT) made mergeable, the tier answer to
+    "distinct users per window" that an exact distinct (full id shuffle)
+    cannot give at 10^12 rows. Output is the 1h estimate per window."""
+    t1m = rollup.rollup_distinct(
+        _events(spark, sf_dir), "1m", id_col="user_id",
+        keys=("event_type",)
+    )
+    t1h = rollup.rollup_distinct_cascade(
+        t1m, "1m", "1h", keys=("event_type",)
+    )
+    return t1h.select("event_type", "window_start", "n_distinct_est")
+
+
 # --------------------------------------------------------------------------
 # Registration order = driver evidence budget. The driver's correctness
 # gate checks the FIRST 50 registered queries (list(queries())[:50], same
@@ -5121,7 +5163,7 @@ _DRIVER_WINDOW_FIRST = [
     #    fixed by the +0.0 canonicalization) flip green
     "auto_correlation_nlags20",
     "stat_gmean_w5", "stat_hmean_w5",
-    "system_wise_voting", "evaluate_metrics",
+    "system_wise_voting",
     "bk_filter_cycle",
     # -- twins first checked in round 3 (the 2-day holt_winters_auto
     #    stays past position 50 — ~45 s DuckDB oracle, judge-verified
@@ -5170,8 +5212,9 @@ _DRIVER_WINDOW_FIRST = [
     #    counter increase (no driver rows yet); slots from 2x-green
     #    stat_skew_w5 / stat_kurtosis_w5 (the windows.py family keeps
     #    gmean/hmean + the r1-green mean/moving-average entries
-    #    in-window) and 2x-green detect_hbos
+    #    in-window), 2x-green detect_hbos, and 2x-green evaluate_metrics
     "refresh_tier_1h", "m4_downsample_6h", "counter_increase_6h",
+    "value_histogram_1d",
     "holt_winters_auto",
 ]
 # displaced round 5 continued (each 2x driver-green r3+r4): ses_smoothing,
