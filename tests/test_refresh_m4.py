@@ -422,3 +422,105 @@ def test_distinct_rollup_cascade_equals_direct_and_bounds_error(spark):
     rel = np.abs(m.n_distinct_est - m.true_d) / np.maximum(m.true_d, 1)
     # lg_k=12 -> sigma ~1.6%; allow 5 sigma on small windows
     assert rel.max() < 0.09
+
+
+def test_sessionize_matches_islands(spark):
+    """Session windows vs a pandas gaps-and-islands ground truth: same
+    session boundaries, counts, sums; end = last event + gap."""
+    rng = np.random.default_rng(77)
+    base = pd.Timestamp("2024-02-01")
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(600),
+            "user_id": rng.integers(0, 20, 600),
+            "ts": base + pd.to_timedelta(
+                rng.integers(0, 2 * 86400, 600), "s"
+            ),
+            "value": rng.normal(5, 2, 600).round(2),
+        }
+    )
+    gap = pd.Timedelta(minutes=30)
+    got = (
+        DS.sessionize(
+            spark.createDataFrame(pdf), gap="30 minutes",
+            keys=("user_id",)
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    pdf = pdf.sort_values(["user_id", "ts"])
+    pdf["brk"] = (
+        pdf.groupby("user_id").ts.diff().isna()
+        | (pdf.groupby("user_id").ts.diff() > gap)  # inclusive gap edge
+    ).astype(int)
+    pdf["sess"] = pdf.groupby("user_id").brk.cumsum()
+    exp = (
+        pdf.groupby(["user_id", "sess"])
+        .agg(
+            session_start=("ts", "min"),
+            last_ts=("ts", "max"),
+            n_events=("value", "size"),
+            sum_value=("value", "sum"),
+        )
+        .reset_index()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_series_equal(
+        got.session_start, exp.session_start, check_names=False
+    )
+    pd.testing.assert_series_equal(
+        got.session_end, exp.last_ts + gap, check_names=False
+    )
+    np.testing.assert_array_equal(got.n_events, exp.n_events)
+    np.testing.assert_allclose(got.sum_value, exp.sum_value, rtol=1e-12)
+    np.testing.assert_array_equal(
+        got.duration_us,
+        (exp.last_ts + gap - exp.session_start).dt.total_seconds()
+        * 1_000_000,
+    )
+
+
+def test_sessionize_gap_edge_is_inclusive(spark):
+    """An event arriving EXACTLY gap after the previous one MERGES into
+    the session (Spark's merge edge is inclusive — probe-verified); only
+    a strictly-larger gap breaks. The twin's `> gap` break matches."""
+    t0 = pd.Timestamp("2024-02-01")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "user_id": [1, 1, 1],
+            "ts": [t0, t0 + pd.Timedelta(minutes=30),
+                   t0 + pd.Timedelta(minutes=59)],
+            "value": [1.0, 1.0, 1.0],
+        }
+    )
+    got = (
+        DS.sessionize(
+            spark.createDataFrame(pdf), gap="30 minutes",
+            keys=("user_id",)
+        )
+        .toPandas()
+        .sort_values("session_start")
+        .reset_index(drop=True)
+    )
+    # event 1 at exactly +30m MERGES (inclusive edge); event 2 at +59m
+    # merges too (29m < gap): one session of 3
+    assert len(got) == 1
+    assert got.n_events.tolist() == [3]
+    # a strictly larger gap (30m + 1s) DOES break
+    pdf2 = pdf.copy()
+    pdf2.loc[1, "ts"] = pdf2.loc[0, "ts"] + pd.Timedelta(minutes=30,
+                                                         seconds=1)
+    got2 = (
+        DS.sessionize(
+            spark.createDataFrame(pdf2), gap="30 minutes",
+            keys=("user_id",)
+        )
+        .toPandas()
+        .sort_values("session_start")
+        .reset_index(drop=True)
+    )
+    assert len(got2) == 2 and got2.n_events.tolist() == [1, 2]

@@ -5146,6 +5146,50 @@ def distinct_users_1h_cascade(spark, sf_dir):
     return t1h.select("event_type", "window_start", "n_distinct_est")
 
 
+@register(
+    "sessionize_30m",
+    """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+i AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value) + 1e-9, 4) + 0.0 AS sum_value,
+       date_diff('microsecond', min(ts), max(ts) + INTERVAL 30 MINUTE)
+         AS duration_us
+FROM i GROUP BY user_id, sess
+""",
+)
+def sessionize_30m(spark, sf_dir):
+    """Session windows (downsample.sessionize): per-user inactivity-gap
+    sessions via Spark's native merging `session_window` (end = last
+    event + gap; an event at EXACTLY start+gap still merges — the edge
+    is inclusive, probe-verified), twinned against the classic
+    gaps-and-islands SQL (lag-break flags + running-sum island ids,
+    break on diff STRICTLY > gap to match the inclusive edge). user_id is the uniform
+    high-cardinality key — sessions spread over all reducers; per-group
+    cost is bounded by per-user event counts."""
+    out = DS.sessionize(
+        _events(spark, sf_dir), gap="30 minutes", keys=("user_id",)
+    )
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        _r4("sum_value").alias("sum_value"), "duration_us",
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order = driver evidence budget. The driver's correctness
 # gate checks the FIRST 50 registered queries (list(queries())[:50], same
@@ -5170,7 +5214,6 @@ _DRIVER_WINDOW_FIRST = [
     #    tier; its driver-budget 1-day/2-start sibling is in-window below)
     "detect_abod",
     "gorilla_roundtrip_1m", "salted_rollup_totals",
-    "dct_transform",
     "matrix_profile_w20", "yeo_johnson", "detect_sod",
     "detect_autoreg", "detect_multivariate_avg", "detect_cof",
     "detect_cblof", "detect_pca",
@@ -5215,6 +5258,9 @@ _DRIVER_WINDOW_FIRST = [
     #    in-window), 2x-green detect_hbos, and 2x-green evaluate_metrics
     "refresh_tier_1h", "m4_downsample_6h", "counter_increase_6h",
     "value_histogram_1d",
+    # -- session windows (slot from 2x-green dct_transform; fft_magnitude
+    #    keeps the spectral family's driver presence via its r4 row)
+    "sessionize_30m",
     "holt_winters_auto",
 ]
 # displaced round 5 continued (each 2x driver-green r3+r4): ses_smoothing,
