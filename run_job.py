@@ -36,12 +36,27 @@ def main() -> None:
                          "cascade (Iceberg-style maintenance)")
     ap.add_argument("--weekly", action="store_true",
                     help="extend the cascade with the 1w retention tier")
+    ap.add_argument("--late-input",
+                    help="parquet path of a LATE batch: refresh the "
+                         "existing tier tree at --output incrementally "
+                         "(affected day partitions only) instead of "
+                         "rebuilding")
     args = ap.parse_args()
 
-    from tods_spark.pipeline import run_engine
+    from tods_spark.pipeline import refresh_engine, run_engine
     from tods_spark.session import get_spark
 
     spark = get_spark(app_name=f"tods_spark_{args.job_id}")
+    if args.late_input:
+        report = refresh_engine(
+            spark,
+            spark.read.parquet(args.late_input),
+            args.output,
+            job_id=args.job_id,
+            with_weekly=args.weekly,
+        )
+        print(json.dumps(report, default=str))
+        return
     if args.n_docs:
         from tods_spark.datagen import token_table
 

@@ -150,3 +150,64 @@ def test_run_engine_weekly_tier(spark, tmp_path):
     a = t1d.agg(F.sum("cnt"), F.sum("sum_n_tok")).collect()[0]
     b = t1w.agg(F.sum("cnt"), F.sum("sum_n_tok")).collect()[0]
     assert a[0] == b[0] and abs(a[1] - b[1]) < 1e-6
+
+
+def test_refresh_engine_matches_full_rebuild(spark, tmp_path):
+    """Late-data refresh: build the tier tree from on-time rows, refresh
+    with the late batch (affected day partitions only), and every tier —
+    algebraic columns AND digests — equals a full rebuild over all rows.
+    Token-table windows stay <= K=64 values, so digest merge is exact."""
+    from tods_spark.pipeline import refresh_engine
+
+    raw = token_table(spark, 12000, partitions=5).cache()
+    doc_n = F.substring("doc_id", 5, 15).cast("long")  # "doc-%012d" ids
+    on_time = raw.filter(doc_n % 13 != 0)
+    late = raw.filter(doc_n % 13 == 0)
+
+    base_r = str(tmp_path / "refresh")
+    run_engine(spark, on_time, base_r, with_digest=True, pack=False)
+    rep = refresh_engine(spark, late, base_r)
+    assert rep["1m"]["refreshed"] and rep["1h"]["refreshed"]
+
+    base_f = str(tmp_path / "full")
+    run_engine(spark, raw, base_f, with_digest=True, pack=False)
+
+    for tier in ("1m", "1h", "1d"):
+        got = (
+            spark.read.parquet(f"{base_r}/tier_{tier}")
+            .drop("part_key")
+            .toPandas()
+            .sort_values(["source", "window_start"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            spark.read.parquet(f"{base_f}/tier_{tier}")
+            .drop("part_key")
+            .toPandas()
+            .sort_values(["source", "window_start"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp), tier
+        for c in ("cnt", "sum_n_tok", "min_n_tok", "max_n_tok",
+                  "sum_sq_n_tok"):
+            np.testing.assert_allclose(
+                got[c].astype(float), exp[c].astype(float), rtol=1e-12,
+                err_msg=f"{tier}.{c}",
+            )
+        for a, b in zip(got.qdigest, exp.qdigest):
+            np.testing.assert_allclose(
+                np.asarray(a, float), np.asarray(b, float), rtol=1e-12,
+                err_msg=f"{tier}.qdigest",
+            )
+
+    # fenced re-run (same job_id): the merge is NOT re-applied — no
+    # double count — and the idempotent cascade re-derivation keeps the
+    # tables at the converged state
+    rep2 = refresh_engine(spark, late, base_r)
+    assert rep2["1m"]["merged"] is False
+    assert (
+        spark.read.parquet(f"{base_r}/tier_1m")
+        .agg(F.sum("cnt")).collect()[0][0]
+        == 12000
+    )
+    raw.unpersist()

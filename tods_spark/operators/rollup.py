@@ -331,8 +331,10 @@ def refresh_tier(
     partition overwrite (only affected partitions rewrite — the
     checkpoint/lineage story in plans/checkpoint.py applies per refresh).
     """
+    has_digest = "qdigest" in tier_df.columns
     late = rollup_raw(
-        late_raw, tier, ts_col=ts_col, value_col=value_col, keys=keys
+        late_raw, tier, ts_col=ts_col, value_col=value_col, keys=keys,
+        with_digest=has_digest,
     ).select(
         *keys,
         "window_start",
@@ -341,7 +343,25 @@ def refresh_tier(
         F.col("min_n_tok").alias("_l_min"),
         F.col("max_n_tok").alias("_l_max"),
         F.col("sum_sq_n_tok").alias("_l_sq"),
+        *([F.col("qdigest").alias("_l_dig")] if has_digest else []),
     )
+    dig = ["qdigest"] if has_digest else []
+    if has_digest:
+        # two-state digest merge (the rollup_cascade kernel, arity 2):
+        # weights are the PRE-merge counts of each side
+        @F.pandas_udf("array<double>")
+        def merge2(a: pd.Series, ca: pd.Series, b: pd.Series,
+                   cb: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    sketches.merge_digests(
+                        [np.asarray(x, float), np.asarray(y, float)],
+                        np.asarray([wx, wy], float),
+                    )
+                    for x, wx, y, wy in zip(a, ca, b, cb)
+                ]
+            )
+
     on = [*keys, "window_start"]
     # tier rows in affected windows, merged with their late partial
     touched = (
@@ -354,9 +374,15 @@ def refresh_tier(
             F.least("min_n_tok", "_l_min").alias("min_n_tok"),
             F.greatest("max_n_tok", "_l_max").alias("max_n_tok"),
             (F.col("sum_sq_n_tok") + F.col("_l_sq")).alias("sum_sq_n_tok"),
+            *(
+                [merge2("qdigest", "cnt", "_l_dig", "_l_cnt")
+                 .alias("qdigest")]
+                if has_digest
+                else []
+            ),
         )
         .withColumn("avg_n_tok", F.col("sum_n_tok") / F.col("cnt"))
-        .select(*on, "tier", *AGG_COLS)
+        .select(*on, "tier", *AGG_COLS, *dig)
     )
     # windows the tier has never seen: the late partial IS the tier row
     fresh = (
@@ -370,15 +396,16 @@ def refresh_tier(
             F.col("_l_max").alias("max_n_tok"),
             (F.col("_l_sum") / F.col("_l_cnt")).alias("avg_n_tok"),
             F.col("_l_sq").alias("sum_sq_n_tok"),
+            *([F.col("_l_dig").alias("qdigest")] if has_digest else []),
         )
-        .select(*on, "tier", *AGG_COLS)
+        .select(*on, "tier", *AGG_COLS, *dig)
     )
     # rebuilt from state so the input tier needs only keys + window + the
     # five algebraic columns (derived tier/avg columns are optional)
     untouched = (
         tier_df.join(F.broadcast(late.select(*on)), on, "left_anti")
         .withColumn("avg_n_tok", F.col("sum_n_tok") / F.col("cnt"))
-        .select(*on, F.lit(tier).alias("tier"), *AGG_COLS)
+        .select(*on, F.lit(tier).alias("tier"), *AGG_COLS, *dig)
     )
     return untouched.unionByName(touched).unionByName(fresh)
 

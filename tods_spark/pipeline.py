@@ -137,3 +137,127 @@ def run_engine(
             )
             report.setdefault("expired", {})[tier] = dropped
     return report
+
+
+def refresh_engine(
+    spark: SparkSession,
+    late_df,
+    base_dir: str,
+    job_id: str = "refresh",
+    keys: tuple[str, ...] = ("source",),
+    value_col: str = "n_tok",
+    with_weekly: bool = False,
+) -> dict:
+    """Late-data refresh of an existing tier-table tree (the invalidation
+    half of the continuous-aggregate lifecycle; `run_engine` is the build
+    half): merge the late batch into tier_1m incrementally
+    (rollup.refresh_tier — tier side broadcast-only, digests merged),
+    then re-cascade ONLY the affected day partitions upward through
+    1h / 1d (and the affected epoch-weeks through 1w), overwriting just
+    those partitions and appending fresh lineage records per partition.
+
+    Cost model at 10^12 rows: late-batch aggregate (late-sized shuffle)
+    + per-affected-day partition rewrites — the unaffected history is
+    never read (partition pruning on part_key) and never rewritten.
+
+    Delivery contract: the MERGE is incremental, so each late batch must
+    be applied AT MOST ONCE (re-merging double-counts — unlike
+    run_engine's recompute-from-raw, which is naturally idempotent).
+    The checkpoint fences this per job_id: a re-run whose 1m partitions
+    are already marked done under this job_id skips the merge and only
+    re-derives the (idempotent) upward cascade — so retrying a refresh
+    that crashed after the 1m write is safe, and re-delivering a batch
+    under a NEW job_id is the caller's bug, the same
+    offset-commit discipline any log-consumer job has. Upstream
+    re-delivery within a stream is already handled by
+    streaming.streaming_dedup.
+
+    Returns {tier: {"refreshed": [part_keys], "rows_out": n}} with
+    "merged": False on a fenced re-run.
+    """
+    from tods_spark.operators.rollup import refresh_tier
+    from tods_spark.plans.checkpoint import _per_partition_stats
+
+    ckpt = CheckpointLog(f"{base_dir}/checkpoint.jsonl")
+    report: dict = {}
+    dates = sorted(
+        r["d"]
+        for r in late_df.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d")
+        ).distinct().collect()
+    )
+
+    def _overwrite(table: PartitionedTable, tier: str, df, parts):
+        out = df.withColumn(
+            "part_key", F.date_format("window_start", "yyyy-MM-dd")
+        ).filter(F.col("part_key").isin(parts))
+        stats = _per_partition_stats(out, "part_key")
+        table.overwrite_partitions(out)
+        total = 0
+        for p in parts:
+            n, fp = stats.get(p, (0, 0))
+            total += n
+            ckpt.mark(
+                job_id=job_id, tier=tier, partition=p, status="done",
+                rows_out=n, fingerprint=fp, refresh=True,
+            )
+        report[tier] = {"refreshed": parts, "rows_out": total}
+
+    t1m_table = PartitionedTable(spark, f"{base_dir}/tier_1m", ["part_key"])
+    already = ckpt.done_partitions(job_id, "1m")
+    if set(dates) <= already:
+        # fenced re-run: merge already applied under this job_id — only
+        # re-derive the idempotent upward cascade
+        report["1m"] = {"refreshed": [], "rows_out": 0, "merged": False}
+    else:
+        refreshed = refresh_tier(
+            t1m_table.read().drop("part_key"), late_df, "1m",
+            value_col=value_col, keys=keys,
+        )
+        _overwrite(t1m_table, "1m", refreshed, dates)
+        report["1m"]["merged"] = True
+
+    # upward: a 1h/1d window lies within one day, so recomputing the
+    # affected DAYS of tier N+1 from the refreshed DAYS of tier N is
+    # complete — partition-pruned reads on both sides
+    t1h_table = PartitionedTable(spark, f"{base_dir}/tier_1h", ["part_key"])
+    in1m = t1m_table.read().filter(F.col("part_key").isin(dates)).drop(
+        "part_key"
+    )
+    _overwrite(t1h_table, "1h", rollup_cascade(in1m, "1m", "1h", keys=keys),
+               dates)
+
+    t1d_table = PartitionedTable(spark, f"{base_dir}/tier_1d", ["part_key"])
+    in1h = t1h_table.read().filter(F.col("part_key").isin(dates)).drop(
+        "part_key"
+    )
+    _overwrite(t1d_table, "1d", rollup_cascade(in1h, "1h", "1d", keys=keys),
+               dates)
+
+    if with_weekly:
+        # a 1w window spans 7 epoch-aligned days: recompute each affected
+        # week from ALL its member days of the 1d tier (pruned read)
+        from datetime import date, timedelta
+
+        week_days: set[str] = set()
+        week_parts: set[str] = set()
+        for d in dates:
+            dd = date.fromisoformat(d)
+            # epoch (1970-01-01, a Thursday) alignment: days since epoch
+            epoch_off = (dd - date(1970, 1, 1)).days
+            start = dd - timedelta(days=epoch_off % 7)
+            week_parts.add(start.isoformat())
+            week_days.update(
+                (start + timedelta(days=i)).isoformat() for i in range(7)
+            )
+        t1w_table = PartitionedTable(
+            spark, f"{base_dir}/tier_1w", ["part_key"]
+        )
+        in1d = t1d_table.read().filter(
+            F.col("part_key").isin(sorted(week_days))
+        ).drop("part_key")
+        _overwrite(
+            t1w_table, "1w", rollup_cascade(in1d, "1d", "1w", keys=keys),
+            sorted(week_parts),
+        )
+    return report
