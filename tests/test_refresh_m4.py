@@ -524,3 +524,67 @@ def test_sessionize_gap_edge_is_inclusive(spark):
         .reset_index(drop=True)
     )
     assert len(got2) == 2 and got2.n_events.tolist() == [1, 2]
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """session_window under Structured Streaming (merging-session state,
+    append mode): finalized sessions match the batch op row-for-row."""
+    src = str(tmp_path / "sess_stream_src")
+    rng = np.random.default_rng(91)
+    base = pd.Timestamp("2024-02-01")
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(800),
+            "user_id": rng.integers(0, 15, 800),
+            "ts": base + pd.to_timedelta(
+                np.sort(rng.integers(0, 86400, 800)), "s"
+            ),
+            "value": rng.normal(5, 2, 800).round(2),
+        }
+    )
+    for chunk in np.array_split(pdf, 4):  # already time-sorted
+        spark.createDataFrame(chunk).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    batch = (
+        DS.sessionize(
+            spark.read.parquet(src), gap="30 minutes", keys=("user_id",)
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        DS.sessionize(
+            stream.withWatermark("ts", "2 minutes"), gap="30 minutes",
+            keys=("user_id",)
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = (
+        spark.sql("SELECT * FROM sess_stream")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) >= 0.8 * len(batch)  # tail sessions unfinalized
+    merged = streamed.merge(
+        batch, on=["user_id", "session_start"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(streamed)
+    for c in ("session_end", "n_events", "sum_value", "duration_us"):
+        np.testing.assert_array_equal(
+            merged[f"{c}_s"].values, merged[f"{c}_b"].values, err_msg=c
+        )
