@@ -1,34 +1,72 @@
-"""Two-parallelism scaling bench, PAIRED protocol (BASELINE.md):
+"""Two-parallelism scaling bench, LOAD-GATED paired protocol (v3).
 
 The identical rollup-cascade job over the same parquet token table at two
-parallelism levels (default local[8] vs local[32]); both JVMs stay alive
-for the whole session and timed runs ALTERNATE between them (lo,hi,hi,lo,
-lo,hi,…), so each pair executes within the same ~minute of host noise.
-Reports per-pair efficiency, the distribution (min/median/best), and the
-north-rule verdict against >= 0.8.
+parallelism levels (default local[2] vs local[8]); both JVMs stay alive
+for the whole session and timed runs ALTERNATE between them. v3 adds the
+three defenses the round-5 record showed are needed on this multi-tenant
+host (BENCH/BASELINE.md sessions H/I/J/K: alternating external bursts,
+per-pair efficiencies 0.14-1.9):
 
-Methodology (sandbox realities, recorded in BENCH/BASELINE.md):
+  1. LOAD GATE (delay, never skip): before every timed run, poll
+     (a) load1 and (b) directly-measured external busy cores over a short
+     /proc/stat window, and sleep until BOTH are under threshold or a
+     per-run wait budget expires (then run anyway, gated=false logged).
+     loadavg alone lags ~1 min behind reality; the jiffies probe doesn't.
+  2. EXTERNAL-CPU MEASUREMENT PER RUN: around each timed run, walk
+     /proc/*/stat and sum utime+stime of every process that is neither a
+     descendant of this bench nor a kernel thread (PF_KTHREAD). The delta
+     over the run's wall time = external busy cores DURING the run — an
+     objective contamination signal, independent of the run's own speed.
+     A pair where either run saw > EXT_CONTAM external cores is logged
+     with contaminated=true and re-run after re-gating (bounded retry
+     budget; every attempt stays in the JSONL — nothing is dropped on
+     the basis of the efficiency value itself).
+     Known approximation: jiffies of external processes that EXIT inside
+     the window are missed; short-lived bursts therefore under-count, so
+     the gate threshold is set low (1.5 cores on a 32-core box).
+  3. CPU AFFINITY: each worker JVM is pinned (sched_setaffinity via
+     taskset) to exactly its advertised core count on disjoint core sets.
+     Unpinned local[k] leaks past k cores (GC/compile threads, python
+     workers), inflating the lo side and depressing measured efficiency;
+     pinning makes "N vs 4N cores" mean N vs 4N CPUs — the cluster
+     semantics the north rule describes — and external runnables are
+     preferentially scheduled onto the 22+ idle cores.
+
+Methodology otherwise unchanged from v2 (recorded in BENCH/BASELINE.md):
   * input is a parquet table generated ONCE (untimed); the timed job is
     scan -> 1m rollup (map-side partial digests — the engine default)
     -> 1h -> 1d -> gap-fill -> Gorilla pack;
-  * one warm-up run per JVM before any timed run (this kernel serializes
-    first-touch page faults globally, so cold allocation cost is a kernel
-    property, not engine scaling);
+  * warm-up runs per JVM repeat until one completes on a quiet window
+    (round-5 session H showed a single warm-up can leave the hi JVM
+    cold-ramped for two more pairs);
   * pair order alternates to cancel linear host drift;
   * the idle JVM blocks on stdin (no CPU) while its partner runs.
 
+Summary reports BOTH medians: over protocol (clean) pairs and over all
+executed attempts, plus the full gate/contamination trace.
+
 Usage: python scripts/bench_scaling.py [n_docs] [pairs] [replication] [lo] [hi]
-Defaults: 2_000_000 docs, 10 pairs, 8x replication, local[8] vs local[32].
+Defaults: 2_000_000 docs, 10 pairs, 8x replication, local[2] vs local[8].
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import statistics
 import subprocess
 import sys
 import tempfile
+import time
+
+LOAD1_GATE = 3.0      # verdict-prescribed: delay until load1 < 3
+EXT_GATE = 1.5        # external busy cores allowed at run start
+EXT_CONTAM = 1.5      # external busy cores during a run => contaminated
+GATE_WAIT_MAX = 900.0  # per-run gate budget (seconds); then run anyway
+MAX_RETRIES = 10       # extra pair attempts allowed session-wide
+PF_KTHREAD = 0x00200000
+HZ = os.sysconf("SC_CLK_TCK")
 
 SETUP = r"""
 import sys
@@ -79,10 +117,7 @@ def job():
     return sum(rows[t] for t in ("1m", "1h", "1d")) * len(AGG_COLS)
 
 
-points = job()  # warm-up: JVM JIT, python workers, page-fault arena
-job()  # second warm-up: round-5 session H opened with two pure-artifact
-       # pairs (local[8] slower than local[2]) that monotonically warmed
-       # away — one warm-up pass does not always finish paging the hi JVM
+points = job()  # warm-up 1: JVM JIT, python workers, page-fault arena
 print(json.dumps({"ready": True, "points": points}), flush=True)
 for line in sys.stdin:
     if line.strip() == "quit":
@@ -93,60 +128,175 @@ for line in sys.stdin:
 """
 
 
-def _spawn(path: str, cores: int, rep: int) -> subprocess.Popen:
+# ---------------------------------------------------------------- /proc walk
+
+def _proc_table() -> dict[int, tuple[int, int, bool]]:
+    """pid -> (ppid, utime+stime jiffies, is_kernel_thread)."""
+    out = {}
+    for name in os.listdir("/proc"):
+        if not name.isdigit():
+            continue
+        try:
+            with open(f"/proc/{name}/stat", "rb") as fh:
+                raw = fh.read().decode("ascii", "replace")
+        except OSError:
+            continue
+        # comm may contain spaces/parens: split after the LAST ')'
+        rest = raw[raw.rindex(")") + 2:].split()
+        # rest[0]=state rest[1]=ppid ... rest[6]=flags rest[11]=utime rest[12]=stime
+        out[int(name)] = (int(rest[1]), int(rest[11]) + int(rest[12]),
+                          bool(int(rest[6]) & PF_KTHREAD))
+    return out
+
+
+def _external_jiffies() -> int:
+    """Sum utime+stime of processes not descended from us and not kernel."""
+    table = _proc_table()
+    me = os.getpid()
+    mine: set[int] = set()
+
+    def is_mine(pid: int) -> bool:
+        seen = []
+        while pid > 1:
+            if pid == me or pid in mine:
+                mine.update(seen)
+                return True
+            seen.append(pid)
+            ent = table.get(pid)
+            if ent is None:
+                return False
+            pid = ent[0]
+        return False
+
+    total = 0
+    for pid, (_, jif, kthread) in table.items():
+        if not kthread and not is_mine(pid):
+            total += jif
+    return total
+
+
+def _ext_busy_cores(window: float = 1.5) -> float:
+    """External (non-ours, non-kernel) busy cores over a short probe window."""
+    e0 = _external_jiffies()
+    time.sleep(window)
+    return max(0.0, (_external_jiffies() - e0) / HZ / window)
+
+
+def _gate(tag: str) -> dict:
+    """Delay (never skip) until load1 < LOAD1_GATE and ext busy < EXT_GATE."""
+    t0 = time.time()
+    while True:
+        load1 = os.getloadavg()[0]
+        ext = _ext_busy_cores()
+        waited = time.time() - t0
+        if (load1 < LOAD1_GATE and ext < EXT_GATE) or waited > GATE_WAIT_MAX:
+            return {"gate_load1": round(load1, 2), "gate_ext_cores": round(ext, 2),
+                    "gate_waited_s": round(waited, 1),
+                    "gated": load1 < LOAD1_GATE and ext < EXT_GATE}
+        print(json.dumps({"gate_wait": tag, "load1": round(load1, 2),
+                          "ext_cores": round(ext, 2),
+                          "waited_s": round(waited, 1)}), flush=True)
+        time.sleep(8.0)
+
+
+# ---------------------------------------------------------------- workers
+
+def _spawn(path: str, cores: int, rep: int, cpu_list: str) -> subprocess.Popen:
     env = dict(os.environ)
     # two concurrent pinned JVMs must fit the box (-Xms == -Xmx)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-    return subprocess.Popen(
-        [sys.executable, "-c", WORKER, path, str(cores), str(rep)],
-        stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-        text=True, env=env,
-    )
+    cmd = [sys.executable, "-c", WORKER, path, str(cores), str(rep)]
+    # SPARK_SCALING_PIN=0 disables affinity pinning (protocol v2
+    # comparability mode: local[k] may leak past k cores via GC/python
+    # workers; gate + external-CPU measurement stay active either way)
+    if (cpu_list and shutil.which("taskset")
+            and os.environ.get("SPARK_SCALING_PIN", "1") != "0"):
+        cmd = ["taskset", "-c", cpu_list] + cmd
+    return subprocess.Popen(cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL, text=True, env=env)
 
 
 def _ready(p: subprocess.Popen) -> int:
     return json.loads(p.stdout.readline())["points"]
 
 
-def _timed(p: subprocess.Popen) -> float:
+def _timed(p: subprocess.Popen, tag: str) -> dict:
+    """Gate, run, and measure external CPU during the run."""
+    g = _gate(tag)
+    e0 = _external_jiffies()
     p.stdin.write("go\n")
     p.stdin.flush()
-    return json.loads(p.stdout.readline())["sec"]
+    sec = json.loads(p.stdout.readline())["sec"]
+    ext_cores = max(0.0, (_external_jiffies() - e0) / HZ / sec)
+    return {"sec": sec, "ext_cores": round(ext_cores, 2), **g}
+
+
+def _warm(p: subprocess.Popen, tag: str, max_tries: int = 3) -> None:
+    """Repeat warm-up until one completes on a quiet window (session-H fix)."""
+    for i in range(max_tries):
+        r = _timed(p, f"warm_{tag}")
+        r["warm"] = tag
+        r["try"] = i
+        print(json.dumps(r), flush=True)
+        if r["ext_cores"] <= EXT_CONTAM:
+            return
 
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     rep = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    lo = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    hi = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+    lo = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    hi = int(sys.argv[5]) if len(sys.argv) > 5 else 8
     factor = hi / lo
+    # disjoint pinned core sets; idle JVM is blocked on stdin anyway
+    lo_cpus = f"0-{lo - 1}"
+    hi_cpus = f"{lo}-{lo + hi - 1}"
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "tokens.parquet")
         subprocess.run([sys.executable, "-c", SETUP, path, str(n_docs)],
                        check=True, capture_output=True, text=True)
-        p_lo, p_hi = _spawn(path, lo, rep), _spawn(path, hi, rep)
+        p_lo = _spawn(path, lo, rep, lo_cpus)
+        p_hi = _spawn(path, hi, rep, hi_cpus)
         points = _ready(p_lo)
         assert _ready(p_hi) == points
-        per_pair = []
-        for i in range(pairs):
+        _warm(p_lo, "lo")
+        _warm(p_hi, "hi")
+        clean: list[dict] = []
+        attempts: list[dict] = []
+        retries = 0
+        i = 0
+        while len(clean) < pairs:
             # alternate order within the pair to cancel linear host drift
             if i % 2 == 0:
-                s_lo, s_hi = _timed(p_lo), _timed(p_hi)
+                r_lo = _timed(p_lo, f"pair{i}_lo")
+                r_hi = _timed(p_hi, f"pair{i}_hi")
             else:
-                s_hi, s_lo = _timed(p_hi), _timed(p_lo)
+                r_hi = _timed(p_hi, f"pair{i}_hi")
+                r_lo = _timed(p_lo, f"pair{i}_lo")
+            s_lo, s_hi = r_lo["sec"], r_hi["sec"]
             eff = (points / s_hi) / (points / s_lo) / factor
-            # 1-min load average per pair: degraded-host sessions (round-4
-            # F/G: idle load 0.3→16 with zero owned processes) must be
-            # separable at a glance when reading the record
-            per_pair.append({
+            contaminated = (r_lo["ext_cores"] > EXT_CONTAM
+                            or r_hi["ext_cores"] > EXT_CONTAM)
+            rec = {
                 "pair": i, "sec_lo": round(s_lo, 3), "sec_hi": round(s_hi, 3),
                 "pps_lo": round(points / s_lo, 1),
                 "pps_hi": round(points / s_hi, 1),
                 "efficiency": round(eff, 3),
                 "load1": round(os.getloadavg()[0], 2),
-            })
-            print(json.dumps(per_pair[-1]), flush=True)
+                "ext_lo": r_lo["ext_cores"], "ext_hi": r_hi["ext_cores"],
+                "gated_lo": r_lo["gated"], "gated_hi": r_hi["gated"],
+                "gate_waited_lo": r_lo["gate_waited_s"],
+                "gate_waited_hi": r_hi["gate_waited_s"],
+                "contaminated": contaminated,
+            }
+            attempts.append(rec)
+            print(json.dumps(rec), flush=True)
+            if contaminated and retries < MAX_RETRIES:
+                retries += 1
+            else:
+                clean.append(rec)
+            i += 1
         for p in (p_lo, p_hi):
             try:
                 p.stdin.write("quit\n")
@@ -154,23 +304,32 @@ def main() -> None:
             except BrokenPipeError:
                 pass
             p.wait(timeout=60)
-    effs = [r["efficiency"] for r in per_pair]
-    # best-pair protocol: host noise only ever SLOWS a run, so the best
-    # pair is the cleanest view of the engine's intrinsic scaling
-    best = max(effs)
+    effs_clean = [r["efficiency"] for r in clean]
+    effs_all = [r["efficiency"] for r in attempts]
+    med_clean = round(statistics.median(effs_clean), 3)
+    pinned = os.environ.get("SPARK_SCALING_PIN", "1") != "0"
     summary = {
+        "protocol": ("v3 load-gated + ext-CPU-measured + CPU-pinned"
+                     if pinned else
+                     "v3b load-gated + ext-CPU-measured (unpinned)"),
+        "pinned": pinned,
         "n_docs": n_docs, "replication": rep, "pairs": pairs,
-        "lo": lo, "hi": hi, "rollup_points": points,
-        "best_pps_lo": max(r["pps_lo"] for r in per_pair),
-        "best_pps_hi": max(r["pps_hi"] for r in per_pair),
-        "efficiency_min": min(effs),
-        "efficiency_median": round(statistics.median(effs), 3),
-        "efficiency_best": best,
-        "efficiency_all": effs,
+        "lo": lo, "hi": hi, "lo_cpus": lo_cpus, "hi_cpus": hi_cpus,
+        "rollup_points": points,
+        "best_pps_lo": max(r["pps_lo"] for r in attempts),
+        "best_pps_hi": max(r["pps_hi"] for r in attempts),
+        "attempts": len(attempts), "retries_used": retries,
+        "efficiency_min": min(effs_clean),
+        "efficiency_median": med_clean,
+        "efficiency_median_all_attempts": round(statistics.median(effs_all), 3),
+        "efficiency_best": max(effs_all),
+        "efficiency_clean": effs_clean,
+        "efficiency_all": effs_all,
         "target": 0.8,
-        "pass_best": best >= 0.8,
-        "pass_median": statistics.median(effs) >= 0.8,
-        "load1_per_pair": [r["load1"] for r in per_pair],
+        "pass_best": max(effs_all) >= 0.8,
+        "pass_median": med_clean >= 0.8,
+        "load1_per_pair": [r["load1"] for r in attempts],
+        "ext_cores_per_pair": [[r["ext_lo"], r["ext_hi"]] for r in attempts],
     }
     print(json.dumps(summary))
 
