@@ -52,6 +52,14 @@ BENCH_QUERIES = [
     # enrich and M4 chart downsample, both expression-only plans
     "asof_enrich_1h",
     "m4_downsample_6h",
+    # round-6 serving-path additions (new entries — per-query values are
+    # the comparable unit): session windows, counter increase, value
+    # histogram, and the unbounded-key (per-user) as-of — the serving
+    # tier now has the same per-round trend lines as the analytics tier
+    "sessionize_30m",
+    "counter_increase_6h",
+    "value_histogram_1d",
+    "asof_enrich_user_1h",
     "minhash_lsh_candidates",
     "minhash_lsh_candidates_xxh64",
     # end-to-end near-dup clustering (LSH pairs -> connected components ->

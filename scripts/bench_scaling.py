@@ -32,6 +32,16 @@ per-pair efficiencies 0.14-1.9):
      semantics the north rule describes — and external runnables are
      preferentially scheduled onto the 22+ idle cores.
 
+v4 (round 6, after session B's ramp analysis) adds two refinements:
+  4. PLATEAU WARM-UP: warm runs repeat until the latest uncontaminated
+     run is within 15% of the best-so-far (min 2 runs) — session B
+     showed the JIT/arena ramp spans several runs (hi side 53k -> 190k
+     pts/s across pairs 0-3 after one "clean" warm-up), leaking ramp
+     pairs into the median.
+  5. os.sync() inside every (untimed) gate window, so the previous
+     run's parquet/shuffle writeback never bleeds into the next timed
+     run.
+
 Methodology otherwise unchanged from v2 (recorded in BENCH/BASELINE.md):
   * input is a parquet table generated ONCE (untimed); the timed job is
     scan -> 1m rollup (map-side partial digests — the engine default)
@@ -64,6 +74,7 @@ LOAD1_GATE = 3.0      # verdict-prescribed: delay until load1 < 3
 EXT_GATE = 1.5        # external busy cores allowed at run start
 EXT_CONTAM = 1.5      # external busy cores during a run => contaminated
 GATE_WAIT_MAX = 900.0  # per-run gate budget (seconds); then run anyway
+SETTLE_MIN = 45.0      # minimum inter-run settle (v4: see _gate docstring)
 MAX_RETRIES = 10       # extra pair attempts allowed session-wide
 PF_KTHREAD = 0x00200000
 HZ = os.sysconf("SC_CLK_TCK")
@@ -183,13 +194,23 @@ def _ext_busy_cores(window: float = 1.5) -> float:
 
 
 def _gate(tag: str) -> dict:
-    """Delay (never skip) until load1 < LOAD1_GATE and ext busy < EXT_GATE."""
+    """Delay (never skip) until load1 < LOAD1_GATE and ext busy < EXT_GATE,
+    with a MINIMUM settle of SETTLE_MIN seconds: session B showed runs
+    launched immediately after the partner's run (gate passed in 1.5 s
+    because load1 had already decayed) ran 1.5-3x slower than runs that
+    happened to wait ~60 s — the settle window (plus the sync below)
+    drains writeback and lets the allocator/GC quiesce outside the timed
+    region."""
+    os.sync()  # drain the PREVIOUS run's writeback (parquet + shuffle
+    # spill dirty pages) inside the untimed gate window, so background
+    # flushing never competes with the next timed run's own I/O
     t0 = time.time()
     while True:
         load1 = os.getloadavg()[0]
         ext = _ext_busy_cores()
         waited = time.time() - t0
-        if (load1 < LOAD1_GATE and ext < EXT_GATE) or waited > GATE_WAIT_MAX:
+        if (waited >= SETTLE_MIN and load1 < LOAD1_GATE
+                and ext < EXT_GATE) or waited > GATE_WAIT_MAX:
             return {"gate_load1": round(load1, 2), "gate_ext_cores": round(ext, 2),
                     "gate_waited_s": round(waited, 1),
                     "gated": load1 < LOAD1_GATE and ext < EXT_GATE}
@@ -231,15 +252,25 @@ def _timed(p: subprocess.Popen, tag: str) -> dict:
     return {"sec": sec, "ext_cores": round(ext_cores, 2), **g}
 
 
-def _warm(p: subprocess.Popen, tag: str, max_tries: int = 3) -> None:
-    """Repeat warm-up until one completes on a quiet window (session-H fix)."""
+def _warm(p: subprocess.Popen, tag: str, max_tries: int = 6) -> None:
+    """Warm until the JVM reaches a throughput PLATEAU, not merely until
+    one run completes uncontaminated: round-6 session B showed the JIT /
+    arena ramp spans SEVERAL runs (hi side: 53k -> 121k -> 65k -> 190k
+    pts/s across pairs 0-3 after a single 'clean' warm-up), so ramp runs
+    leak into the timed pairs and sink the median. Plateau = the latest
+    run within 15% of the session-best runtime, with at least two runs
+    done; contaminated runs never count toward the plateau test."""
+    best = None
     for i in range(max_tries):
         r = _timed(p, f"warm_{tag}")
         r["warm"] = tag
         r["try"] = i
         print(json.dumps(r), flush=True)
-        if r["ext_cores"] <= EXT_CONTAM:
+        if r["ext_cores"] > EXT_CONTAM:
+            continue
+        if best is not None and r["sec"] <= best * 1.15:
             return
+        best = r["sec"] if best is None else min(best, r["sec"])
 
 
 def main() -> None:

@@ -270,6 +270,31 @@ def main() -> None:
           bool(_re.search(r"(BroadcastHashJoin|ShuffledHashJoin|"
                           r"SortMergeJoin) .*LeftAnti", dk_plan)))
 
+    # 20. unbounded-key as-of (round 6): every Window in the plan must
+    #     (a) partition by the per-entity key (user_id — high-cardinality,
+    #     bounded rows per key), never a calendar-unbounded subset, and
+    #     (b) sit directly above the HashAggregate that reduced raw events
+    #     to the tier — i.e. the raw side is never windowed; its only
+    #     exchange is the final equi-join's hash partitioning
+    au_plan = QUERIES["asof_enrich_user_1h"](spark, SF)._jdf.queryExecution(
+    ).executedPlan().toString()
+    au_lines = au_plan.splitlines()
+    au_ok, au_n = True, 0
+    for i, ln in enumerate(au_lines):
+        m = _re.search(r"windowspecdefinition\(([^)]*)\)", ln)
+        if not m:
+            continue
+        au_n += 1
+        pkeys = _window_partition_keys(m.group(1))
+        # the tier subtree under the window spans a join (exchanges,
+        # possibly sorts) before the bounding HashAggregate — scan a
+        # deeper slice than check 17's 25 lines
+        sub = "\n".join(au_lines[i:i + 45])
+        au_ok = au_ok and any("user_id" in k for k in pkeys) \
+            and "HashAggregate" in sub
+    check("asof_enrich_user windows only the aggregated tier keyed by "
+          "user_id (raw side never windowed)", au_ok and au_n >= 1)
+
     bad = [n for n, ok in checks if not ok]
     print(f"\n{len(checks) - len(bad)}/{len(checks)} plan checks pass")
     if bad:

@@ -131,14 +131,64 @@ def test_asof_drops_pre_tier_events(spark):
 
 def test_asof_plan_broadcasts_tier(spark):
     """The raw side must reach the join without an exchange or sort: the
-    grid (tier side) broadcasts, so the physical plan is scan → project →
-    BroadcastHashJoin on the big side."""
+    grid (tier side) ends up broadcast — statically (size estimate under
+    autoBroadcastJoinThreshold) or by AQE at runtime — so the executed
+    plan is scan → project → BroadcastHashJoin on the big side. The grid
+    deliberately carries NO broadcast hint (its size grows with keys ×
+    calendar span; a hard hint would bypass AQE's limit), so the FINAL
+    adaptive plan is what's asserted."""
     ev, tier = _frames()
-    plan = ASOF.asof_enrich(
+    df = ASOF.asof_enrich(
         spark.createDataFrame(ev),
         spark.createDataFrame(tier),
         keys=("event_type",),
         value_cols=("cnt", "avg_value"),
-    )._jdf.queryExecution().executedPlan().toString()
+    )
+    df.collect()  # finalize AQE re-planning before reading the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_unbounded_matches_bounded_and_merge_asof(spark):
+    """The unbounded-key variant returns exactly the bounded variant's
+    rows on the same input (same backward-as-of semantics, different
+    physical shape), and therefore also matches the pandas merge_asof
+    golden; its plan never windows or sorts the raw side (no Window whose
+    input is the un-aggregated events — asserted via the audit's check
+    #20 on the registered per-user query)."""
+    ev, tier = _frames()
+    cols = ["event_id", "asof_window_start", "asof_cnt", "asof_avg_value"]
+    got = (
+        ASOF.asof_enrich_unbounded(
+            spark.createDataFrame(ev),
+            spark.createDataFrame(tier),
+            keys=("event_type",),
+            value_cols=("cnt", "avg_value"),
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = _expected(ev, tier)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got[cols], exp[cols], check_dtype=False
+    )
+
+
+def test_asof_step_must_be_single_unit(spark):
+    """A multi-unit step ('6 hours') would compute lookup buckets off the
+    tier grid and silently drop events — both variants must refuse it."""
+    import pytest
+
+    ev, tier = _frames(n=20)
+    for fn in (ASOF.asof_enrich, ASOF.asof_enrich_unbounded):
+        with pytest.raises(ValueError, match="1 <unit>"):
+            fn(
+                spark.createDataFrame(ev),
+                spark.createDataFrame(tier),
+                keys=("event_type",),
+                step="6 hours",
+                value_cols=("cnt", "avg_value"),
+            )

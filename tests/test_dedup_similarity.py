@@ -357,6 +357,24 @@ def test_ann_ivf_trained_codebook(spark):
     exact = SIM.cosine_topk_bruteforce(emb, q, k=5).toPandas()
     full = SIM.ann_topk_ivf(emb, q, k=5, nlist=4, nprobe=4).toPandas()
     assert list(full.vec_id) == list(exact.vec_id)
+    # the training sample is the md5-ordered (corpus-order-unbiased)
+    # order statistic, cross-checked against DuckDB's md5 of the same
+    # decimal string: with nlist == train_n and iters=0 the init
+    # centroids ARE the id-sorted sample
+    import duckdb
+
+    exp_ids = sorted(
+        r[0] for r in duckdb.sql(
+            "SELECT vec_id FROM "
+            "'/root/testdata/sf0.001/embeddings.parquet' "
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16"
+        ).fetchall()
+    )
+    assert 0 not in exp_ids or exp_ids != list(range(16))  # not a prefix
+    init16 = SIM.kmeans_codebook(emb, nlist=16, train_n=16, iters=0)
+    vec = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+           for r in emb.filter(F.col("vec_id").isin(exp_ids)).collect()}
+    assert [c for _, c in init16] == [vec[i] for i in exp_ids]
 
 
 def test_word_entropy_vs_python_replay(spark):
@@ -424,6 +442,43 @@ def test_connected_components_chain_and_clusters(spark):
     by_doc = clusters.set_index("doc_id").cluster_id.to_dict()
     assert by_doc.get("d030") == "d000" and by_doc.get("d000") == "d000"
     assert by_doc.get("d031") == "d001" and by_doc.get("d001") == "d001"
+
+
+def test_connected_components_star_chain_logarithmic(spark):
+    """Adversarial long-chain graph: large-star/small-star alternation
+    (Kiveris et al. 2014) must collapse a planted 10^4-long chain in
+    O(log d) rounds — plain min-propagation would need diameter (10^4)
+    rounds. Asserts both the round bound and full label correctness."""
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(n + 5, n + 6)],
+        "src long, dst long",
+    )
+    labels, rounds = DD._cc_star(edges, max_iter=50)
+    # path graphs contract by ~2x per full round: expect ~log2(d) (+2
+    # fixed-point-detection rounds); measured 15 for d=10^4. The bound
+    # asserts the ORDER (2*log2 + slack), vs 10^4 rounds for min-prop.
+    assert rounds <= 30, f"chain took {rounds} rounds (expected O(log d))"
+    got = {r.id: r.lbl for r in labels.collect()}
+    assert len(got) == n + 2
+    assert all(got[i] == 0 for i in range(n))
+    assert got[n + 5] == n + 5 and got[n + 6] == n + 5
+
+
+def test_connected_components_star_matches_minprop(spark):
+    """Differential test: the star alternation and plain min-propagation
+    produce identical (id, cluster_id) labels on a seeded random graph
+    (mixed component shapes: stars, chains, cliques, singleton edges)."""
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 400, (300, 2))
+             if a != b]
+    edges += [(1000 + i, 1000 + i + 1) for i in range(30)]  # chain
+    edges += [(2000, 2000 + i) for i in range(1, 20)]       # star
+    e = spark.createDataFrame(edges, "src long, dst long")
+    star = {r.id: r.lbl for r in DD.connected_components(e).collect()}
+    prop = {r.id: r.lbl
+            for r in DD.connected_components_minprop(e, max_iter=60).collect()}
+    assert star == prop
 
 
 def test_dedup_keep_drops_planted(spark):

@@ -211,3 +211,58 @@ def test_refresh_engine_matches_full_rebuild(spark, tmp_path):
         == 12000
     )
     raw.unpersist()
+
+
+def test_refresh_fence_survives_crash_mid_mark_loop(spark, tmp_path):
+    """The at-most-once fence must hold when the previous refresh crashed
+    BETWEEN the (single-job) 1m partition overwrite and completing the
+    per-partition mark loop: some dates are marked, some not. A subset
+    fence would see "not all done" and re-merge the full late batch —
+    double-counting every affected window; the overlap fence skips the
+    merge (any mark proves the write committed), backfills the missing
+    marks from a read-back, and re-derives the idempotent cascade."""
+    import json as J
+
+    from tods_spark.pipeline import refresh_engine
+
+    raw = token_table(spark, 8000, partitions=4).cache()
+    doc_n = F.substring("doc_id", 5, 15).cast("long")
+    on_time = raw.filter(doc_n % 13 != 0)
+    late = raw.filter(doc_n % 13 == 0)
+
+    base = str(tmp_path / "fence")
+    run_engine(spark, on_time, base, with_digest=True, pack=False)
+    rep = refresh_engine(spark, late, base)
+    dates = sorted(rep["1m"]["refreshed"])
+    assert len(dates) >= 2, "need multiple affected days to plant the crash"
+
+    # simulate the crash: drop the 1m refresh marks for every date but
+    # the first (the overwrite itself already committed as one job)
+    ckpt = f"{base}/checkpoint.jsonl"
+    recs = [J.loads(ln) for ln in open(ckpt) if ln.strip()]
+    kept = [
+        r for r in recs
+        if not (r.get("refresh") and r["tier"] == "1m"
+                and r["partition"] in dates[1:])
+    ]
+    assert len(kept) < len(recs)
+    with open(ckpt, "w") as fh:
+        fh.write("\n".join(J.dumps(r) for r in kept) + "\n")
+
+    rep2 = refresh_engine(spark, late, base)
+    assert rep2["1m"]["merged"] is False  # overlap fence held — no re-merge
+    assert sorted(rep2["1m"]["refreshed"]) == dates[1:]  # marks backfilled
+    # no double count anywhere in the tree
+    for tier in ("1m", "1h", "1d"):
+        assert (
+            spark.read.parquet(f"{base}/tier_{tier}")
+            .agg(F.sum("cnt")).collect()[0][0]
+            == 8000
+        ), tier
+    # the backfilled marks carry read-back fingerprints: a third run is
+    # fully fenced and a verify_resume-style audit sees no drift
+    from tods_spark.plans.checkpoint import CheckpointLog
+
+    done = CheckpointLog(ckpt).done_partitions("refresh", "1m")
+    assert set(dates) <= done
+    raw.unpersist()

@@ -424,6 +424,23 @@ def test_distinct_rollup_cascade_equals_direct_and_bounds_error(spark):
     assert rel.max() < 0.09
 
 
+def test_hll_cascade_error_vs_exact_anchor_sf001(spark):
+    """End-to-end anchor at sf0.01 parquet: the registered HLL cascade
+    query's estimates sit within 5-sigma HLL error of the registered
+    EXACT distinct query (`distinct_users_1h_exact` — the DuckDB-
+    twinnable anchor) on identical windows/keys."""
+    from tods_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    est = QUERIES["distinct_users_1h_cascade"](spark, sf).toPandas()
+    exact = QUERIES["distinct_users_1h_exact"](spark, sf).toPandas()
+    m = est.merge(exact, on=["event_type", "window_start"])
+    assert len(m) == len(est) == len(exact)
+    rel = (np.abs(m.n_distinct_est - m.n_distinct)
+           / np.maximum(m.n_distinct, 1))
+    assert rel.max() < 0.09
+
+
 def test_sessionize_matches_islands(spark):
     """Session windows vs a pandas gaps-and-islands ground truth: same
     session boundaries, counts, sums; end = last event + gap."""

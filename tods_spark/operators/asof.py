@@ -26,15 +26,36 @@ BroadcastHashJoin. A range join or a window over the raw stream — the
 naive as-of encodings — would shuffle and sort 10^12 rows; this shape
 moves only the tier.
 
-For UNBOUNDED key sets (per-doc as-of at 10^12 keys) the same two-phase
-split applies bucketed: grid per (key-bucket, hour) with per-bucket
-boundary carry — the pack_sequences prefix-sum pattern (preprocessing
-.py); not needed for the engine's bounded event_type/source keys.
+For UNBOUNDED key sets (per-doc/per-user as-of at 10^12 keys) the grid
+cannot be built per key × calendar (keys × hours explodes) nor
+broadcast: `asof_enrich_unbounded` instead derives each tier point's
+VALIDITY INTERVAL with a window over the TIER ONLY (per-key rows are
+bounded by points-per-key), clamps the last interval to the key's event
+horizon (one hash-agg over events), explodes intervals to a sparse
+step-aligned grid, and equi-joins events to it. The raw side is never
+windowed and never sorted outside the join exchange — one shuffle on
+(key, bucket).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _step_unit(step: str) -> str:
+    """'1 hour' -> 'hour', asserting the step is exactly ONE calendar
+    unit: the event-side lookup bucket is date_trunc(unit) - step, which
+    lands on the tier's sequence(...) grid only when step == 1 unit
+    ('6 hours' or '15 minutes' would fall off-grid and the final inner
+    join would silently drop events instead of erroring)."""
+    parts = step.split()
+    if len(parts) != 2 or parts[0] != "1":
+        raise ValueError(
+            f"asof step must be exactly '1 <unit>' (got {step!r}): "
+            "date_trunc-based lookup buckets only align with the tier "
+            "grid for single-unit steps"
+        )
+    return parts[1].rstrip("s")
 
 
 def asof_enrich(
@@ -81,7 +102,7 @@ def asof_enrich(
             for v in value_cols
         ],
     )
-    unit = step.split()[-1].rstrip("s")  # "1 hour" -> "hour"
+    unit = _step_unit(step)
     # Clamp each event's lookup hour to the key's LAST tier point: an
     # event arriving after the final rollup still reads that final point
     # (merge_asof/ASOF-JOIN backward semantics); only events BEFORE the
@@ -94,4 +115,72 @@ def asof_enrich(
             F.col("_hi"),
         ),
     ).drop("_hi")
-    return ev.join(F.broadcast(ff), [*kl, "_hour"], "inner").drop("_hour")
+    # no broadcast hint on the grid: its size is keys × calendar span, so
+    # a hard hint would bypass AQE's size threshold and risk the broadcast
+    # limit / driver memory on long retention horizons — AQE picks
+    # broadcast-hash at runtime whenever the grid is actually small
+    return ev.join(ff, [*kl, "_hour"], "inner").drop("_hour")
+
+
+def asof_enrich_unbounded(
+    events: DataFrame,
+    tier: DataFrame,
+    keys: tuple[str, ...] = ("user_id",),
+    time_col: str = "ts",
+    tier_time_col: str = "window_start",
+    step: str = "1 hour",
+    value_cols: tuple[str, ...] = ("cnt", "avg_value"),
+) -> DataFrame:
+    """As-of enrich for UNBOUNDED key sets (per-user / per-doc at 10^12
+    keys), same semantics as `asof_enrich` (backward as-of against the
+    last CLOSED `step` window; events before their key's first tier point
+    drop — inner as-of).
+
+    Shape (nothing dense, nothing broadcast, no window over the raw
+    side):
+      1. each TIER point's validity interval [t_i, t_{i+1} - step] via
+         `lead` — a window over the tier only, per-key cardinality
+         bounded by points-per-key (the rollup already collapsed raw
+         rows);
+      2. the last interval is clamped to the key's event horizon
+         (max lookup bucket), a single hash-agg over events with one
+         output row per key — and keys with no events produce no grid;
+      3. intervals explode to a SPARSE step-aligned grid: one row per
+         (key, bucket) actually covered between the key's first point
+         and its last event — Σ_k span_k buckets, the distributed
+         equivalent of the bounded variant's keys × hours grid;
+      4. events compute their lookup bucket (projection only) and
+         equi-join the grid on (key, bucket).
+    The raw side's only exchange is the final join's hash partitioning;
+    keys are high-cardinality and uniform, so no salting is needed (AQE
+    skew-join covers pathological keys).
+    """
+    kl = list(keys)
+    unit = _step_unit(step)
+    step_iv = F.expr(f"INTERVAL {step}")
+    ev = events.withColumn(
+        "_hour", F.date_trunc(unit, F.col(time_col)) - step_iv
+    )
+    ev_hi = ev.groupBy(*kl).agg(F.max("_hour").alias("_ev_hi"))
+    w = Window.partitionBy(*kl).orderBy(tier_time_col)
+    iv = (
+        tier.join(ev_hi, kl, "inner")
+        .withColumn("_next", F.lead(tier_time_col).over(w))
+        .withColumn(
+            "_end",
+            F.least(
+                F.coalesce(F.col("_next") - step_iv, F.col("_ev_hi")),
+                F.col("_ev_hi"),
+            ),
+        )
+        .filter(F.col("_end") >= F.col(tier_time_col))
+    )
+    grid = iv.select(
+        *kl,
+        F.col(tier_time_col).alias(f"asof_{tier_time_col}"),
+        *[F.col(v).alias(f"asof_{v}") for v in value_cols],
+        F.explode(
+            F.sequence(tier_time_col, "_end", step_iv)
+        ).alias("_hour"),
+    )
+    return ev.join(grid, [*kl, "_hour"], "inner").drop("_hour")

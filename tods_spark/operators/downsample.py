@@ -102,8 +102,14 @@ def counter_increase(
          the same calendar-boundedness the rollup tiers rely on.
       2. ACROSS buckets: a lag window over the BUCKET table only
          (|keys| x |calendar buckets| rows, tier-sized) adds the
-         boundary delta; a missing predecessor bucket contributes 0
-         (Prometheus's behavior at series start / after a gap).
+         boundary delta against the previous EXISTING bucket — at
+         series start (no predecessor at all) the boundary contributes
+         0. Note the cross-GAP case deliberately differs from
+         Prometheus's staleness cutoff: a cumulative counter that went
+         quiet and resumed higher DID increase by that amount, so the
+         delta across empty buckets is credited (and a lower resume
+         still counts as one reset). The DuckDB twin lags over the same
+         bucket table, so parity is exact.
 
     Output: keys, bucket_start, n_samples, increase, n_resets,
     v_first, v_last.

@@ -234,21 +234,28 @@ def kmeans_codebook(
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """Train the IVF coarse codebook: seeded deterministic Lloyd k-means
-    over a BOUNDED sample (the first ``train_n`` ids — dense int ids are
-    the engine contract; at real scale any deterministic bounded sample
-    works, the codebook never needs more than O(10^5) training rows).
-    Strided init centroid c = sample[(c*m)//k] — the same deterministic
-    init the CBLOF twin already replays in SQL — then ``iters`` fixed
-    Lloyd steps: assign by ROUNDED (4 dp, +1e-9 nudge) cosine with ties
-    to the smallest list id (np.argmax first-wins == the twin's
-    list_position-of-max), update = float64 elementwise mean of assigned
-    vectors, empty cluster keeps its previous centroid. Fixed iteration
-    count (not a convergence test) so the DuckDB twin can unroll the
-    identical recursion. Returns centroids sorted by list_id — the
-    deterministic ordering ivf_assign's first-max tie-break requires."""
+    over a BOUNDED HASH-ORDERED sample — the ``train_n`` rows with the
+    smallest ``md5(id)`` (ties by id). md5-ordering is as deterministic
+    and twinnable as ``id < train_n`` but corpus-order-UNBIASED: ids
+    correlate with ingest order (crawl shard, date), so a prefix sample
+    would train the codebook on one corner of the corpus and cost ANN
+    recall at real scale; a hash order is an implicit uniform shuffle.
+    The sample plans as TakeOrderedAndProject (per-task top-train_n,
+    driver merge — no global sort). Strided init centroid
+    c = sample[(c*m)//k] over the sample SORTED BY ID — the same
+    deterministic init the CBLOF twin already replays in SQL — then
+    ``iters`` fixed Lloyd steps: assign by ROUNDED (4 dp, +1e-9 nudge)
+    cosine with ties to the smallest list id (np.argmax first-wins == the
+    twin's list_position-of-max), update = float64 elementwise mean of
+    assigned vectors, empty cluster keeps its previous centroid. Fixed
+    iteration count (not a convergence test) so the DuckDB twin can
+    unroll the identical recursion. Returns centroids sorted by list_id —
+    the deterministic ordering ivf_assign's first-max tie-break
+    requires."""
     rows = (
-        df.filter(F.col(id_col) < train_n)
-        .select(id_col, vec_col)
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(train_n)
         .collect()
     )  # bounded collect: <= train_n rows (codebook training sample)
     rows.sort(key=lambda r: r[id_col])

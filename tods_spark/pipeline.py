@@ -163,14 +163,20 @@ def refresh_engine(
     Delivery contract: the MERGE is incremental, so each late batch must
     be applied AT MOST ONCE (re-merging double-counts — unlike
     run_engine's recompute-from-raw, which is naturally idempotent).
-    The checkpoint fences this per job_id: a re-run whose 1m partitions
-    are already marked done under this job_id skips the merge and only
-    re-derives the (idempotent) upward cascade — so retrying a refresh
-    that crashed after the 1m write is safe, and re-delivering a batch
-    under a NEW job_id is the caller's bug, the same
-    offset-commit discipline any log-consumer job has. Upstream
-    re-delivery within a stream is already handled by
-    streaming.streaming_dedup.
+    The checkpoint fences this per job_id, and the fence is on ANY
+    OVERLAP between this batch's dates and the partitions already marked
+    done for (job_id, "1m"): the 1m partition overwrite commits as ONE
+    Spark job and the per-partition marks are appended only after it
+    returns, so a single mark existing proves the merged bytes are on
+    disk. (A subset fence would re-merge — double-counting — after a
+    crash mid-mark-loop.) On a fenced re-run, marks missing for some
+    dates (crash between write and mark loop) are backfilled from a
+    read-back of the written partitions, and the (idempotent) upward
+    cascade is re-derived — so retrying a refresh that crashed at ANY
+    point after the 1m write commit is safe. Re-delivering a batch under
+    a NEW job_id is the caller's bug, the same offset-commit discipline
+    any log-consumer job has. Upstream re-delivery within a stream is
+    already handled by streaming.streaming_dedup.
 
     Returns {tier: {"refreshed": [part_keys], "rows_out": n}} with
     "merged": False on a fenced re-run.
@@ -187,28 +193,48 @@ def refresh_engine(
         ).distinct().collect()
     )
 
-    def _overwrite(table: PartitionedTable, tier: str, df, parts):
-        out = df.withColumn(
-            "part_key", F.date_format("window_start", "yyyy-MM-dd")
-        ).filter(F.col("part_key").isin(parts))
-        stats = _per_partition_stats(out, "part_key")
-        table.overwrite_partitions(out)
+    def _mark_from_readback(table: PartitionedTable, tier: str,
+                            parts, **extra) -> int:
+        # fingerprint the WRITTEN bytes (pruned read-back), not a plan
+        # recompute: double-precision partials can differ in the last ulp
+        # between the stats job and the write job's re-execution, which
+        # would make a later verify_resume spuriously demote refreshed
+        # partitions as drifted (run_tier uses the same discipline)
+        written = table.read().filter(F.col("part_key").isin(parts))
+        stats = _per_partition_stats(written, "part_key")
         total = 0
         for p in parts:
             n, fp = stats.get(p, (0, 0))
             total += n
             ckpt.mark(
                 job_id=job_id, tier=tier, partition=p, status="done",
-                rows_out=n, fingerprint=fp, refresh=True,
+                rows_out=n, fingerprint=fp, refresh=True, **extra,
             )
+        return total
+
+    def _overwrite(table: PartitionedTable, tier: str, df, parts):
+        out = df.withColumn(
+            "part_key", F.date_format("window_start", "yyyy-MM-dd")
+        ).filter(F.col("part_key").isin(parts))
+        table.overwrite_partitions(out)
+        total = _mark_from_readback(table, tier, parts)
         report[tier] = {"refreshed": parts, "rows_out": total}
 
     t1m_table = PartitionedTable(spark, f"{base_dir}/tier_1m", ["part_key"])
     already = ckpt.done_partitions(job_id, "1m")
-    if set(dates) <= already:
-        # fenced re-run: merge already applied under this job_id — only
-        # re-derive the idempotent upward cascade
-        report["1m"] = {"refreshed": [], "rows_out": 0, "merged": False}
+    if set(dates) & already:
+        # fenced re-run: the 1m overwrite commits as one Spark job and
+        # marks follow it, so ANY overlapping mark proves the merge is on
+        # disk — re-merging would double-count. Backfill marks lost to a
+        # crash mid-mark-loop, then only re-derive the idempotent upward
+        # cascade.
+        missing = sorted(set(dates) - already)
+        recovered = (
+            _mark_from_readback(t1m_table, "1m", missing, recovered=True)
+            if missing else 0
+        )
+        report["1m"] = {"refreshed": missing, "rows_out": recovered,
+                        "merged": False}
     else:
         refreshed = refresh_tier(
             t1m_table.read().drop("part_key"), late_df, "1m",
