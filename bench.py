@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "asof_enrich_user_1h",
     "minhash_lsh_candidates",
     "minhash_lsh_candidates_xxh64",
+    # exact-substring duplicate spans (round 6): positional-shingle
+    # self-join + diagonal gaps-and-islands — the heaviest text join
+    # after minhash, worth a per-round trend line
+    "dup_spans_3g",
     # end-to-end near-dup clustering (LSH pairs -> connected components ->
     # labels), engine-native hash path; timed last — it runs driver-side
     # convergence rounds and should not precede expression-only queries

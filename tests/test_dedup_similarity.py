@@ -760,3 +760,98 @@ def test_source_word_kl_matches_numpy(spark):
         assert out.loc[s].n_words == n
         assert out.loc[s].n_distinct_words == len(c)
         assert out.loc[s].kl_bits > -1e-12
+
+
+def test_dup_spans_recovers_planted_passage(spark):
+    """A 10-word passage shared verbatim between two docs at different
+    offsets must come back as exactly ONE maximal span: trigram shingles
+    fully inside the passage (8 of them), a_start/b_start at the
+    passage's word offset in each doc, span_words == the 10 shared words.
+    Boundary trigrams straddling the passage edge differ by context and
+    must not extend the span; all other words are unique so no other
+    pair/diagonal appears."""
+    passage = "the quick brown fox jumps over the1 lazy dog tonight".split()
+    doc_a = [f"ua{i}" for i in range(5)] + passage + [f"va{i}" for i in range(4)]
+    doc_b = [f"ub{i}" for i in range(2)] + passage + [f"vb{i}" for i in range(7)]
+    df = spark.createDataFrame(
+        [("a", " ".join(doc_a)), ("b", " ".join(doc_b))],
+        "doc_id string, text string",
+    )
+    got = DD.dup_spans(df, n=3, min_span=4).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.doc_a, r.doc_b) == ("a", "b")
+    assert (r.a_start, r.b_start) == (5, 2)
+    assert r.span_len == 8 and r.span_words == 10
+
+
+def test_dup_spans_splits_interrupted_copy(spark):
+    """An edited copy (one word changed mid-passage) must split into TWO
+    spans, one per untouched side — the 'localize the boilerplate'
+    semantics; and a span shorter than min_span is suppressed."""
+    left = "alpha beta gamma delta epsilon zeta".split()     # 6 words
+    right = "eta theta iota kappa lambda mu nu".split()       # 7 words
+    doc_a = left + ["ORIG"] + right
+    doc_b = ["pre0", "pre1"] + left + ["EDIT"] + right + ["post0"]
+    df = spark.createDataFrame(
+        [("a", " ".join(doc_a)), ("b", " ".join(doc_b))],
+        "doc_id string, text string",
+    )
+    got = (
+        DD.dup_spans(df, n=3, min_span=4)
+        .toPandas()
+        .sort_values("a_start")
+        .reset_index(drop=True)
+    )
+    # left side: 6 words -> 4 interior trigrams (>= min_span); right side:
+    # 7 words -> 5 trigrams
+    assert len(got) == 2
+    assert list(got.span_len) == [4, 5]
+    assert list(got.a_start) == [0, 7]
+    assert list(got.b_start) == [2, 9]
+    # shrink the right side's overlap below min_span and it disappears
+    got2 = DD.dup_spans(df, n=3, min_span=6).toPandas()
+    assert len(got2) == 0
+
+
+def test_ann_ivf_recall_bound_vs_bruteforce(spark):
+    """Recall bounds for the trained (md5-sampled) IVF codebook vs exact
+    brute force. Two regimes, because IVF's contract is data-dependent:
+
+    * CLUSTERED data (IVF's actual use case — real embedding corpora are
+      clustered, that's why the codebook exists): 8 planted Gaussian
+      blobs; a query inside one blob must recover the full exact top-5
+      probing just nprobe=2 of 8 lists.
+    * the UNIFORM-random testdata embeddings (worst case for any
+      partitioned index — neighbors scatter across lists; measured
+      recall at nprobe=2 is 2/5 and that is EXPECTED, not a bug):
+      recall must be monotone non-decreasing in nprobe, the formal
+      guarantee that probing wider never loses candidates."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 16)) * 4.0
+    rows = [
+        (int(c * 25 + i), [float(x) for x in centers[c] + rng.normal(size=16)])
+        for c in range(8)
+        for i in range(25)
+    ]
+    blobs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = [float(x) for x in centers[3]]
+    exact = list(SIM.cosine_topk_bruteforce(blobs, q, k=5).toPandas().vec_id)
+    ivf = list(
+        SIM.ann_topk_ivf(blobs, q, k=5, nlist=8, nprobe=2).toPandas().vec_id
+    )
+    assert ivf == exact, f"clustered recall {len(set(ivf) & set(exact))}/5"
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qu = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    ex = set(SIM.cosine_topk_bruteforce(emb, qu, k=5).toPandas().vec_id)
+    recalls = [
+        len(ex & set(SIM.ann_topk_ivf(emb, qu, k=5, nlist=8, nprobe=p)
+                     .toPandas().vec_id))
+        for p in (2, 4, 8)
+    ]
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 5  # nprobe == nlist is exhaustive == exact

@@ -27,7 +27,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from tods_spark.operators.text import words
 
@@ -185,6 +185,108 @@ def ngram_jaccard_pairs(
     )
     return out.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard"
+    )
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    n: int = 3,
+    min_span: int = 4,
+    df_cap: int | None = 64,
+) -> DataFrame:
+    """Cross-document duplicate SPANS: maximal runs of consecutive shared
+    word n-grams between two documents — the exact-substring-dedup
+    primitive of real LLM-data pipelines (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", re-derived; the suffix-
+    array formulation is replaced by a diagonal-run reduction that Spark
+    expresses as joins + bounded windows). Where `ngram_jaccard_pairs`
+    scores whole-document overlap, this localizes WHERE the overlap is:
+    boilerplate headers, quoted passages, templated paragraphs.
+
+    Returns (doc_a, doc_b, a_start, b_start, span_len, span_words):
+    doc_a < doc_b, a_start/b_start are 0-based positions in each doc's
+    POSITIONAL shingle stream (= word offset of the span start), span_len
+    counts shingles, span_words = span_len + n - 1 words covered.
+
+    Shape & scale:
+      1. positional shingles (one per word offset, NOT deduplicated —
+         text.words() tokenization, same as every other shingle op):
+         projection only, no exchange;
+      2. `df_cap` drops shingles with ≥ df_cap TOTAL OCCURRENCES before
+         the self-join. Occurrences, not distinct docs: positional
+         shingles repeat WITHIN a document, and a shingle occurring k×
+         in one doc and m× in another emits k·m match rows for that one
+         pair — the sf0.1 corpus's planted high-repetition docs make a
+         distinct-doc cap explode (measured: the bench hung >15 min;
+         with the occurrence cap the same input takes seconds). The
+         occurrence cap is strictly stronger (occurrences ≥ docs), it is
+         exactly Lee et al.'s frequent-substring cutoff, and a capped
+         shingle can at worst SPLIT a reported span in two;
+      3. equi-join on the shingle string with doc_a < doc_b — the only
+         big exchange, hash-partitioned on the shingle;
+      4. matches on the same DIAGONAL (i - j constant) are consecutive
+         iff positions are: one window per (doc_a, doc_b, diag) ordered
+         by i finds run breaks (lag), a running sum numbers the runs, and
+         a partial+final count-agg emits each maximal run once. Per-key
+         rows are bounded by min(len_a, len_b) — document length, never
+         corpus size — so no unbounded-key window (audit check 17 class).
+    """
+    w = words(col)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(shingles).alias("pos", "shingle"),
+    )
+    if df_cap is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .filter(F.col("occ") < df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a, b = sh.alias("a"), sh.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("doc_a"),
+        F.col("b.id").alias("doc_b"),
+        F.col("a.pos").alias("i"),
+        F.col("b.pos").alias("j"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("i")
+    runs = (
+        m.withColumn(
+            "brk",
+            F.when(
+                F.lag("i").over(wd).isNull()
+                | (F.col("i") - F.lag("i").over(wd) != 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("run", F.sum("brk").over(wd))
+        .groupBy("doc_a", "doc_b", "diag", "run")
+        .agg(
+            F.min("i").alias("a_start"),
+            F.min("j").alias("b_start"),
+            F.count(F.lit(1)).alias("span_len"),
+        )
+    )
+    return runs.filter(F.col("span_len") >= min_span).select(
+        "doc_a",
+        "doc_b",
+        "a_start",
+        "b_start",
+        "span_len",
+        (F.col("span_len") + F.lit(n - 1)).alias("span_words"),
     )
 
 

@@ -1148,6 +1148,54 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.02, df_cap=64)
 
 
+@register(
+    "dup_spans_3g",
+    rf"""
+WITH docs_w AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+sh AS (
+  SELECT doc_id AS id, i AS pos,
+         array_to_string(list_slice(w, i+1, i+3), ' ') AS shingle
+  FROM docs_w, LATERAL (SELECT unnest(range(greatest(len(w)-3, 0) + 1)) AS i)
+),
+rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) < 64),
+shc AS (SELECT id, pos, sh.shingle
+        FROM sh JOIN rare ON sh.shingle = rare.shingle),
+m AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, a.pos AS i, b.pos AS j,
+         a.pos - b.pos AS diag
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+),
+r AS (
+  SELECT *, CASE WHEN lag(i) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY i)
+                      IS DISTINCT FROM i - 1 THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY i) AS run
+  FROM r
+)
+SELECT doc_a, doc_b,
+       CAST(min(i) AS INT) AS a_start, CAST(min(j) AS INT) AS b_start,
+       CAST(count(*) AS BIGINT) AS span_len,
+       CAST(count(*) + 2 AS BIGINT) AS span_words
+FROM g GROUP BY doc_a, doc_b, diag, run
+HAVING count(*) >= 4
+""",
+)
+def dup_spans_3g(spark, sf_dir):
+    """Cross-document duplicate spans (dedup.dup_spans — the exact-
+    substring-dedup primitive, Lee et al. 2022 re-derived as a diagonal-run
+    reduction): maximal runs of ≥4 consecutive shared word trigrams
+    between two docs, localizing boilerplate/quoted passages that whole-doc
+    Jaccard only scores. One shingle-keyed self-join (trigrams with ≥64
+    TOTAL occurrences pruned first — the occurrence cap, not a doc-
+    frequency cap, so within-doc repetition can't explode the join), then
+    runs found by a window per (doc_a, doc_b, diagonal) — per-key rows
+    bounded by document length, never corpus size. The twin replays the
+    identical tokenization, cap, and gaps-and-islands reduction."""
+    return DD.dup_spans(_docs(spark, sf_dir), n=3, min_span=4, df_cap=64)
+
+
 def _minhash_sql(k: int = 16, bands: int = 8) -> str:
     """DuckDB twin of minhash_lsh_candidates: identical base 60-bit
     md5-slice hash, identical universal-hash permutations (a_i·h+b_i mod p
@@ -5368,7 +5416,11 @@ _DRIVER_WINDOW_FIRST = [
     #    earning a third row.
     "asof_enrich_user_1h", "distinct_users_1h_exact",
     "heavy_hitters_1h_top5",
-    "ses_smoothing", "detect_knn",
+    # dup_spans_3g (exact-substring duplicate spans, new round-6 twin)
+    # takes the slot planned for 2x-green detect_knn's third row
+    # (detect_knn stays judge-checkable via scripts/check_oracle.py)
+    "dup_spans_3g",
+    "ses_smoothing",
     "doc_tfidf_top3", "contamination_3gram", "stratified_sample_2",
     "pack_sequences_4k", "ann_cosine_top5_ivf",
     # -- round 5 continued: the six twins added THIS round (no driver row
