@@ -59,6 +59,22 @@ def report(path: str, factor: float = 4.0) -> dict:
         "pass_throughput_median": thr_med >= 0.8,
         "per_pair": [p["efficiency"] for p in pairs],
     }
+    # Amdahl fit over the session's FAST STATES (min runtimes — the
+    # convoy-free estimator): sec = s + p/cores with lo=2, hi=8 solves to
+    # s (the per-run serial constant: driver job setup + the core-count-
+    # invariant tier write) and p (single-core parallel work). The
+    # convoy-free efficiency ((s+p/2)/(s+p/8))/4 is what the session
+    # would measure with zero kernel-convoy noise; s bounds what run
+    # length is needed for any target efficiency.
+    t_lo = min(p["sec_lo"] for p in use)
+    t_hi = min(p["sec_hi"] for p in use)
+    p_par = (t_lo - t_hi) * 8 / 3
+    s_ser = t_lo - p_par / 2
+    out["amdahl"] = {
+        "fast_sec_lo": round(t_lo, 1), "fast_sec_hi": round(t_hi, 1),
+        "serial_s": round(s_ser, 1), "parallel_1core_s": round(p_par, 1),
+        "convoy_free_efficiency": round((t_lo / t_hi) / 4, 3),
+    }
     return out
 
 
