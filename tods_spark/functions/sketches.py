@@ -73,6 +73,68 @@ def merge_digests(
     return np.interp(grid, ranks, x)
 
 
+def merge_digest_series(states, k: int = K_DEFAULT) -> list:
+    """Batch form of `merge_digests` for a whole Arrow batch (optimization
+    round 7, guide §4.2 "hand whole batches to vectorized native code"):
+    ``states`` is a sequence whose elements are lists of
+    ``{"qdigest": array, "cnt": n}`` structs (one element per output row).
+
+    The exact-regime rows — every input digest is a raw sorted sample
+    (size == cnt) and the merged size still fits k+1 — are merged in ONE
+    vectorized pass: concatenate across the batch, one stable lexsort
+    keyed (row, value), split at row boundaries. That is bit-identical to
+    `merge_digests`' exact path (stable sort of the same concatenation)
+    and it is the common case for 1m windows, where per-row numpy calls
+    (~15 tiny ops each) previously dominated the merge stage. Rows
+    needing the grid path (oversize or non-exact digests, NaN padding)
+    fall back to `merge_digests` row by row — unchanged results."""
+    n_rows = len(states)
+    out: list = [None] * n_rows
+    fast_idx: list[int] = []
+    fast_digs: list[np.ndarray] = []
+    fast_sizes: list[int] = []
+    for i, st in enumerate(states):
+        digs, exact, total = [], True, 0
+        for s in st:
+            d = np.asarray(s["qdigest"], dtype=np.float64)
+            c = s["cnt"]
+            if d.size == 0 or c is None or c <= 0:
+                continue
+            digs.append(d)
+            total += int(c)
+            if d.size != int(c):
+                exact = False
+        if not digs:
+            out[i] = np.full(k + 1, np.nan)
+        elif exact and total <= k + 1:
+            fast_idx.append(i)
+            fast_digs.extend(digs)
+            fast_sizes.append(sum(d.size for d in digs))
+        else:
+            out[i] = merge_digests(
+                [np.asarray(s["qdigest"], float) for s in st],
+                np.asarray([s["cnt"] for s in st], float), k,
+            )
+    if fast_idx:
+        flat = np.concatenate(fast_digs)
+        sizes = np.asarray(fast_sizes)
+        bounds = np.cumsum(sizes)[:-1]
+        if np.isnan(flat).any():
+            # rare NaN padding: demote every fast row to the per-row kernel
+            for i in fast_idx:
+                st = states[i]
+                out[i] = merge_digests(
+                    [np.asarray(s["qdigest"], float) for s in st],
+                    np.asarray([s["cnt"] for s in st], float), k,
+                )
+        else:
+            rows = np.repeat(np.arange(len(sizes)), sizes)
+            order = np.lexsort((flat, rows))
+            for i, piece in zip(fast_idx, np.split(flat[order], bounds)):
+                out[i] = piece
+    return out
+
+
 def digest_quantile(digest: np.ndarray, p: float) -> float:
     """Evaluate quantile p from a stored grid."""
     d = np.asarray(digest, dtype=np.float64)

@@ -47,9 +47,20 @@ def pack_tier(
         out["blob"] = [blob]
         return pd.DataFrame(out)
 
-    prepared = tier_df.withColumn(
+    # project to the 4 columns pack() reads BEFORE the Python boundary:
+    # applyInPandas is opaque to column pruning (guide §4.1), and the tier
+    # otherwise ships its full agg state + qdigest arrays through the
+    # exchange and the Arrow transpose for nothing
+    prepared = tier_df.select(*key_list, window_col, value_col).withColumn(
         "__ts__", F.col(window_col).cast("timestamp_ltz").cast("long")
     ).withColumn("__chunk__", F.window(window_col, chunk)["start"])
+    # pin the encode width to the cluster's parallelism: the Gorilla bit
+    # kernel's cost is per ROW, and AQE's byte-based coalescing (guide
+    # §2.5) squeezes this KB-sized-but-Python-heavy exchange onto 1-2
+    # tasks. An explicit hash repartition on the group key keeps every
+    # core packing; the exchange carries exactly the four packed columns.
+    width = tier_df.sparkSession.sparkContext.defaultParallelism
+    prepared = prepared.repartition(width, *key_list, "__chunk__")
     return prepared.groupBy(*key_list, "__chunk__").applyInPandas(pack, schema)
 
 

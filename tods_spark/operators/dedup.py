@@ -147,25 +147,41 @@ def ngram_jaccard_pairs(
         are recounted over the SAME capped shingle universe.
       * per-doc size dims are plain shuffle joins — a per-doc table is NOT
         broadcastable at scale (driver OOM); AQE picks the strategy when
-        the doc count is actually small."""
-    sh_all = shingle_table(df, id_col, col, n)
+        the doc count is actually small.
+      * df_cap=None keeps the grouped-pair formulation but removes the
+        bound on the per-shingle id list — only safe on corpora known to
+        have no hot shingles (the capped default is the scale contract)."""
+    sh = shingle_table(df, id_col, col, n)
     if df_cap is not None:
-        rare = (
-            sh_all.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") < df_cap)
-            .select("shingle")
-        )
-        sh = sh_all.join(rare, "shingle")
-    else:
-        sh = sh_all
+        # document frequency as a count() window over the shingle
+        # partition (same restructuring as dup_spans, optimization round
+        # 7): the previous two-phase shape aggregated DF separately and
+        # semi-joined the rare-shingle SET back — a corpus-sized
+        # driver-broadcast at sf0.1 and a 4x recompute of the
+        # scan+explode; this shape pays ONE exchange on the shingle and
+        # a hot shingle's group spills in WindowExec before the cap
+        # filter drops it
+        occ = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        sh = sh.withColumn("_df", occ).filter(F.col("_df") < df_cap)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # candidate pairs generated LOCALLY per surviving shingle (<= df_cap
+    # ids, already co-partitioned): ordered cross-pairs via array
+    # higher-order functions instead of a self-join — no second pass, no
+    # broadcast, identical pair multiset
+    grouped = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x: F.transform(
+                F.filter(F.col("ids"), lambda y: y > x),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
@@ -210,29 +226,40 @@ def dup_spans(
     POSITIONAL shingle stream (= word offset of the span start), span_len
     counts shingles, span_words = span_len + n - 1 words covered.
 
-    Shape & scale:
+    Shape & scale (optimization round 7 — one scan, one shingle-keyed
+    exchange, no corpus-sized broadcast; results bit-identical to the
+    previous two-phase join formulation, oracle-checked):
       1. positional shingles (one per word offset, NOT deduplicated —
          text.words() tokenization, same as every other shingle op):
-         projection only, no exchange;
-      2. `df_cap` drops shingles with ≥ df_cap TOTAL OCCURRENCES before
-         the self-join. Occurrences, not distinct docs: positional
-         shingles repeat WITHIN a document, and a shingle occurring k×
-         in one doc and m× in another emits k·m match rows for that one
-         pair — the sf0.1 corpus's planted high-repetition docs make a
-         distinct-doc cap explode (measured: the bench hung >15 min;
-         with the occurrence cap the same input takes seconds). The
-         occurrence cap is strictly stronger (occurrences ≥ docs), it is
-         exactly Lee et al.'s frequent-substring cutoff, and a capped
-         shingle can at worst SPLIT a reported span in two;
-      3. equi-join on the shingle string with doc_a < doc_b — the only
-         big exchange, hash-partitioned on the shingle;
+         projection only; `_ensure_parallelism` widens the single-file
+         scan so shingle generation isn't single-task;
+      2. ONE hash exchange on the shingle string. Occurrence counting
+         (`df_cap` semantics: drop shingles with ≥ df_cap TOTAL
+         OCCURRENCES — Lee et al.'s frequent-substring cutoff;
+         occurrences, not distinct docs, so within-doc repetition can't
+         explode the join) is a count() window over the shingle
+         partition: a hot shingle's group SPILLS to disk in WindowExec
+         and is then dropped by the cap filter — it never becomes an
+         in-memory list (the previous formulation aggregated occurrence
+         counts separately and semi-joined the rare-shingle SET back,
+         which at sf0.1 planned as a driver-built broadcast of every
+         distinct shingle string and recomputed the scan+explode 4×);
+      3. pair generation is LOCAL: per surviving shingle (occ < cap,
+         already co-partitioned) collect the ≤ cap (id, pos) occurrences
+         and emit ordered cross-pairs with array higher-order functions —
+         ≤ cap²/2 rows per shingle, no self-join, no second pass;
       4. matches on the same DIAGONAL (i - j constant) are consecutive
-         iff positions are: one window per (doc_a, doc_b, diag) ordered
-         by i finds run breaks (lag), a running sum numbers the runs, and
-         a partial+final count-agg emits each maximal run once. Per-key
-         rows are bounded by min(len_a, len_b) — document length, never
+         iff positions are: runs = groups of constant i - row_number()
+         within (doc_a, doc_b, diag) ordered by i (i is unique per key:
+         a document position holds exactly one trigram) — a single
+         window pass (the lag + running-sum pair it replaces needed two),
+         then a partial+final count-agg emits each maximal run once,
+         reusing the window's partitioning (no extra exchange). b_start
+         is derived as a_start - diag, so j never shuffles. Per-key rows
+         are bounded by min(len_a, len_b) — document length, never
          corpus size — so no unbounded-key window (audit check 17 class).
     """
+    df = _ensure_parallelism(df, id_col)
     w = words(col)
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
@@ -243,40 +270,33 @@ def dup_spans(
         F.posexplode(shingles).alias("pos", "shingle"),
     )
     if df_cap is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("occ"))
-            .filter(F.col("occ") < df_cap)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
-    a, b = sh.alias("a"), sh.alias("b")
-    m = a.join(
-        b,
-        (F.col("a.shingle") == F.col("b.shingle"))
-        & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("doc_a"),
-        F.col("b.id").alias("doc_b"),
-        F.col("a.pos").alias("i"),
-        F.col("b.pos").alias("j"),
-        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        occ = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        sh = sh.withColumn("_occ", occ).filter(F.col("_occ") < df_cap)
+    grouped = sh.groupBy("shingle").agg(
+        F.collect_list(F.struct("id", "pos")).alias("occs")
     )
+    occs = F.col("occs")
+    pair_arr = F.flatten(
+        F.transform(
+            occs,
+            lambda x: F.transform(
+                F.filter(occs, lambda y: y["id"] > x["id"]),
+                lambda y: F.struct(
+                    x["id"].alias("doc_a"),
+                    y["id"].alias("doc_b"),
+                    x["pos"].alias("i"),
+                    (x["pos"] - y["pos"]).alias("diag"),
+                ),
+            ),
+        )
+    )
+    m = grouped.select(F.explode(pair_arr).alias("p")).select("p.*")
     wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("i")
     runs = (
-        m.withColumn(
-            "brk",
-            F.when(
-                F.lag("i").over(wd).isNull()
-                | (F.col("i") - F.lag("i").over(wd) != 1),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn("run", F.sum("brk").over(wd))
-        .groupBy("doc_a", "doc_b", "diag", "run")
+        m.withColumn("_grp", F.col("i") - F.row_number().over(wd))
+        .groupBy("doc_a", "doc_b", "diag", "_grp")
         .agg(
             F.min("i").alias("a_start"),
-            F.min("j").alias("b_start"),
             F.count(F.lit(1)).alias("span_len"),
         )
     )
@@ -284,7 +304,7 @@ def dup_spans(
         "doc_a",
         "doc_b",
         "a_start",
-        "b_start",
+        (F.col("a_start") - F.col("diag")).alias("b_start"),
         "span_len",
         (F.col("span_len") + F.lit(n - 1)).alias("span_words"),
     )
@@ -375,7 +395,16 @@ def minhash_lsh_candidates(
             ])
         ).alias("band", "bucket"),
     )
-    a, b2 = banded.alias("a"), banded.alias("b")
+    # SHUFFLE_HASH hint (optimization round 7): the band self-join's two
+    # sides are the SAME signature pipeline — under the default plan the
+    # planner broadcasts one side and each side computes the (expensive)
+    # shingle/permutation stage independently. Forcing a shuffled hash
+    # join makes both sides identical Exchange subtrees, so ReusedExchange
+    # computes the signatures ONCE and replays the shuffle files for the
+    # other side — and there is no sort (vs sort-merge) and no
+    # driver-round-trip broadcast build. At scale the band join stays the
+    # pipeline's only big exchange; AQE skew-split applies to SHJ too.
+    a, b2 = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b2,
@@ -454,7 +483,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("chunk", "bits"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # shuffle_hash hint: same ReusedExchange rationale as
+    # minhash_lsh_candidates — the SimHash signature (an Arrow UDF stage)
+    # is computed once instead of once per join side
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -537,7 +569,52 @@ def _edge_signature(e: DataFrame) -> tuple:
     return (int(r["n"]), int(r["h"] or 0))
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def _cc_driver(e: DataFrame) -> DataFrame:
+    """Union-find over a SMALL edge list, collected to the driver — the
+    strategy `connected_components` picks when the measured edge count is
+    under its `driver_cap` (the same runtime small-side decision AQE makes
+    for broadcast joins: ≤ cap edges is a few MB, the same order as the
+    broadcast relations and codebook collects the engine already allows).
+    Labels are identical to the distributed kernels: cluster label = min
+    vertex id of the component, one row per vertex that appears in a
+    (non-self-loop) edge. Input must already be filtered to src != dst."""
+    import pandas as pd
+
+    spark = e.sparkSession
+    pdf = e.toPandas()
+    allv = pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+    codes, uniques = pd.factorize(allv)
+    m = len(pdf)
+    a, b = codes[:m], codes[m:]
+    parent = list(range(len(uniques)))
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for i in range(m):
+        ra, rb = find(int(a[i])), find(int(b[i]))
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.fromiter((find(i) for i in range(len(uniques))),
+                        dtype=np.int64, count=len(uniques))
+    lab = pd.DataFrame({"id": pd.Series(uniques), "root": roots})
+    lab["lbl"] = lab.groupby("root")["id"].transform("min")
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = e.schema["src"].dataType
+    schema = StructType([
+        StructField("id", id_type), StructField("lbl", id_type)
+    ])
+    return spark.createDataFrame(lab[["id", "lbl"]], schema=schema)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50,
+                         driver_cap: int = 200_000) -> DataFrame:
     """Connected components over an undirected edge list (`src`, `dst`) by
     LARGE-STAR / SMALL-STAR alternation (Kiveris et al. 2014, "Connected
     Components in MapReduce and Beyond" — re-derived from the published
@@ -545,6 +622,19 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     cluster_id = min vertex id in the component, for every vertex that
     appears in an edge (the same contract the previous min-label
     propagation satisfied).
+
+    Strategy choice (optimization round 7, guide §1.2 "the distributed
+    algorithm" + §5 "the driver should do almost no data work" — but a
+    convergence loop over a KB-sized edge set is all scheduling overhead,
+    measured 5-11 s for 1,186 edges at sf0.1 vs ~0.3 s collected): the
+    edge set is first counted (one map-side-combine job over the dedup'd
+    list); at or below ``driver_cap`` edges (default 200k ≈ 3 MB — the
+    same order as a broadcast-join small side) it is collected and solved
+    with path-compressed union-find (`_cc_driver`, label-identical by
+    construction and by differential pytest); above the cap the
+    distributed star alternation below runs unchanged — at 100 TB the dup
+    graph takes that path, and nothing about it changed this round. Pass
+    ``driver_cap=0`` to force the distributed kernel.
 
     Per round (one large-star then one small-star), each a bounded
     pipeline of: symmetrize/orient (projection), per-node min
@@ -566,19 +656,33 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     (v, component_min), which IS the label table. Works for any orderable
     id type (string or numeric; the cluster label is the
     lexicographic/numeric min)."""
-    labels, _ = _cc_star(edges, max_iter)
-    return labels
-
-
-def _cc_star(edges: DataFrame, max_iter: int = 50):
-    """Core of `connected_components`; also returns the round count so
-    tests can assert the O(log d) convergence bound."""
-    e = (
+    e0 = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_cap and e0.count() <= driver_cap:
+        return _cc_driver(e0)
+    labels, _ = _cc_star(e0, max_iter, prepared=True)
+    return labels
+
+
+def _cc_star(edges: DataFrame, max_iter: int = 50, prepared: bool = False):
+    """Core of `connected_components`; also returns the round count so
+    tests can assert the O(log d) convergence bound. ``prepared=True``
+    means the caller already filtered self-loops, dedup'd and
+    checkpointed the edge list (connected_components does, to share the
+    materialization with its driver_cap count)."""
+    if prepared:
+        e = edges
+    else:
+        e = (
+            edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     sig = _edge_signature(e)
     rounds = 0
     for _ in range(max_iter):

@@ -129,26 +129,59 @@ def rollup_raw_partial_digest(
         + "qdigest array<double>"
     )
 
+    k_sk = sketches.K_DEFAULT
+    grid = np.linspace(0.0, 1.0, k_sk + 1)
+
     def partials(batches):
+        # vectorized per-batch partial aggregation (optimization round 7,
+        # guide §4.2): one lexsort keyed (group, value) + reduceat for the
+        # algebraic state; the per-window digest is a SLICE of the sorted
+        # value vector while cnt <= K (the exact-digest regime — the
+        # common case), np.quantile only for oversize windows. Replaces a
+        # per-group pandas loop (~4k Python iterations per task at sf0.1)
+        # with O(batch) numpy. Group identity via factorize (C speed);
+        # rows with a null key are dropped, matching pandas groupby.
         for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
             ts = pdf[ts_col].to_numpy("datetime64[s]").astype("int64")
             w = (ts // interval_s) * interval_s
             v = pdf[value_col].to_numpy(np.float64)
-            grp = pd.DataFrame({**{k: pdf[k] for k in key_list},
-                                "__w__": w, "__v__": v})
-            rows = []
-            for kv, g in grp.groupby([*key_list, "__w__"], sort=False):
-                vals = g["__v__"].to_numpy()
-                rows.append(
-                    (*kv[:-1], pd.Timestamp(kv[-1], unit="s"), len(vals),
-                     vals.sum(), vals.min(), vals.max(), float((vals**2).sum()),
-                     sketches.digest_from_values(vals))
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[*key_list, "window_start", "cnt", "sum_n_tok",
-                         "min_n_tok", "max_n_tok", "sum_sq_n_tok", "qdigest"],
-            )
+            g, _ = pd.factorize(pdf[key_list[0]])
+            g = g.astype(np.int64)
+            keep = g >= 0
+            for kcol in key_list[1:]:
+                c, u = pd.factorize(pdf[kcol])
+                keep &= c >= 0
+                g, _ = pd.factorize(g * (len(u) + 1) + c)
+                g = g.astype(np.int64)
+            if not keep.all():
+                g, w, v = g[keep], w[keep], v[keep]
+                pdf = pdf[keep]
+                m = len(pdf)
+                if m == 0:
+                    continue
+            wc, _ = pd.factorize(w)
+            g = g * (int(wc.max()) + 1) + wc
+            order = np.lexsort((v, g))
+            gs, vs = g[order], v[order]
+            starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+            ends = np.r_[starts[1:], m]
+            first = order[starts]
+            digs = [
+                vs[s:e] if e - s <= k_sk + 1 else np.quantile(vs[s:e], grid)
+                for s, e in zip(starts, ends)
+            ]
+            data = {kcol: pdf[kcol].to_numpy()[first] for kcol in key_list}
+            data["window_start"] = pd.to_datetime(w[order][starts], unit="s")
+            data["cnt"] = ends - starts
+            data["sum_n_tok"] = np.add.reduceat(vs, starts)
+            data["min_n_tok"] = vs[starts]
+            data["max_n_tok"] = vs[ends - 1]
+            data["sum_sq_n_tok"] = np.add.reduceat(vs * vs, starts)
+            data["qdigest"] = digs
+            yield pd.DataFrame(data)
 
     part = df.select(*key_list, ts_col, value_col).mapInPandas(
         partials, schema=partial_schema
@@ -156,15 +189,7 @@ def rollup_raw_partial_digest(
 
     @F.pandas_udf("array<double>")
     def merge(states: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                sketches.merge_digests(
-                    [np.asarray(s["qdigest"], float) for s in st],
-                    np.asarray([s["cnt"] for s in st], float),
-                )
-                for st in states
-            ]
-        )
+        return pd.Series(sketches.merge_digest_series(states))
 
     out = (
         part.groupBy(*key_list, "window_start")
@@ -217,15 +242,7 @@ def rollup_cascade(
 
         @F.pandas_udf("array<double>")
         def merge(states: pd.Series) -> pd.Series:
-            return pd.Series(
-                [
-                    sketches.merge_digests(
-                        [np.asarray(s["qdigest"], float) for s in st],
-                        np.asarray([s["cnt"] for s in st], float),
-                    )
-                    for st in states
-                ]
-            )
+            return pd.Series(sketches.merge_digest_series(states))
 
         out = out.withColumn("qdigest", merge("_dstate")).drop("_dstate")
     cols = [*keys, "window_start", F.lit(to_tier).alias("tier"), *AGG_COLS]
