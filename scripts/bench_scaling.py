@@ -98,6 +98,7 @@ EXT_CONTAM = 1.5      # external busy cores during a run => contaminated
 GATE_WAIT_MAX = 900.0  # per-run gate budget (seconds); then run anyway
 SETTLE_MIN = 45.0      # minimum inter-run settle (v4: see _gate docstring)
 MAX_RETRIES = 10       # extra pair attempts allowed session-wide
+SUPERLINEAR_INVALID = 1.15  # eff above this is contamination evidence
 PF_KTHREAD = 0x00200000
 HZ = os.sysconf("SC_CLK_TCK")
 
@@ -307,7 +308,11 @@ def _warm(p: subprocess.Popen, tag: str, max_tries: int = 6) -> None:
         # run failed to beat the best by >15% (a run much FASTER than best
         # is still ramping and must keep warming — the original
         # `sec <= best*1.15` test wrongly accepted those too)
-        if best is not None and r["sec"] >= best * 0.85:
+        # two-sided band (r7, ADVICE): the latest run must be WITHIN 15%
+        # of best — a run much FASTER than best is still ramping, and a
+        # run much SLOWER than best (kernel convoy with zero external
+        # CPU) is not a plateau either; both keep warming
+        if best is not None and best * 0.85 <= r["sec"] <= best * 1.15:
             return
         best = r["sec"] if best is None else min(best, r["sec"])
 
@@ -338,7 +343,7 @@ def main() -> None:
         attempts: list[dict] = []
         retries = 0
         i = 0
-        while len(clean) < pairs:
+        while len(clean) < pairs and len(attempts) < pairs + MAX_RETRIES:
             # v5: `runs` settled runs per side, alternating lo/hi (cancels
             # linear host drift), per-side BEST-OF. The kernel's stochastic
             # sys-time convoys (BENCH/BASELINE.md round 6: sys >> user
@@ -362,6 +367,12 @@ def main() -> None:
             eff = (points / s_hi) / (points / s_lo) / factor
             contaminated = (best_lo["ext_cores"] > EXT_CONTAM
                             or best_hi["ext_cores"] > EXT_CONTAM)
+            # superlinear lo->hi is physically impossible on one box: the
+            # only way efficiency exceeds ~1 is the LO side being slowed
+            # by interference the ext-CPU probe missed. Such a pair is
+            # contamination EVIDENCE, not a pass (r6 session E's lone
+            # 1.746 pair) — invalid for passing AND failing.
+            superlinear = eff > SUPERLINEAR_INVALID
             rec = {
                 "pair": i, "sec_lo": round(s_lo, 3), "sec_hi": round(s_hi, 3),
                 "pps_lo": round(points / s_lo, 1),
@@ -376,13 +387,19 @@ def main() -> None:
                 "gate_waited_lo": best_lo["gate_waited_s"],
                 "gate_waited_hi": best_hi["gate_waited_s"],
                 "contaminated": contaminated,
+                "superlinear_invalid": superlinear,
             }
             attempts.append(rec)
             print(json.dumps(rec), flush=True)
-            if contaminated and retries < MAX_RETRIES:
-                retries += 1
-            else:
+            # r7 (ADVICE): an invalid pair NEVER enters the clean set —
+            # previously, once MAX_RETRIES was exhausted, contaminated
+            # pairs were appended to `clean` and silently entered the
+            # median; now the session instead reports fewer clean pairs
+            # than requested (the loop bound caps total attempts)
+            if not contaminated and not superlinear:
                 clean.append(rec)
+            else:
+                retries += 1
             i += 1
         for p in (p_lo, p_hi):
             try:
@@ -393,7 +410,8 @@ def main() -> None:
             p.wait(timeout=60)
     effs_clean = [r["efficiency"] for r in clean]
     effs_all = [r["efficiency"] for r in attempts]
-    med_clean = round(statistics.median(effs_clean), 3)
+    med_clean = (round(statistics.median(effs_clean), 3)
+                 if effs_clean else None)
     pinned = os.environ.get("SPARK_SCALING_PIN", "1") != "0"
     summary = {
         "protocol": ("v5 pre-replicated input + best-of-N per side + "
@@ -407,15 +425,26 @@ def main() -> None:
         "best_pps_lo": max(r["pps_lo"] for r in attempts),
         "best_pps_hi": max(r["pps_hi"] for r in attempts),
         "attempts": len(attempts), "retries_used": retries,
-        "efficiency_min": min(effs_clean),
+        # r7 (ADVICE): best/min/median and BOTH pass flags are computed
+        # over CLEAN (uncontaminated, non-superlinear) pairs only —
+        # external load on the lo side INFLATES a pair's efficiency, so a
+        # best-of-all-attempts headline can be driven by exactly the
+        # contamination the protocol measures. All-attempt values stay in
+        # the record for visibility.
+        "efficiency_min": min(effs_clean) if effs_clean else None,
         "efficiency_median": med_clean,
         "efficiency_median_all_attempts": round(statistics.median(effs_all), 3),
-        "efficiency_best": max(effs_all),
+        "efficiency_best": max(effs_clean) if effs_clean else None,
+        "efficiency_best_all_attempts": max(effs_all),
         "efficiency_clean": effs_clean,
         "efficiency_all": effs_all,
+        "clean_pairs": len(clean),
+        "superlinear_invalid_pairs": sum(
+            1 for r in attempts if r.get("superlinear_invalid")
+        ),
         "target": 0.8,
-        "pass_best": max(effs_all) >= 0.8,
-        "pass_median": med_clean >= 0.8,
+        "pass_best": bool(effs_clean) and max(effs_clean) >= 0.8,
+        "pass_median": med_clean is not None and med_clean >= 0.8,
         "load1_per_pair": [r["load1"] for r in attempts],
         "ext_cores_per_pair": [[r["ext_lo"], r["ext_hi"]] for r in attempts],
     }

@@ -13,8 +13,15 @@ different robustness to single-box noise:
     0.3-and-1.5 per-pair swings the round-5 record documents.
 
 Clean pair = both runs gated at start AND externally-uncontaminated
-during the run (the JSONL's own flags — nothing is filtered on the
-efficiency value itself).
+during the run AND efficiency <= 1.15: superlinear lo->hi is physically
+impossible on one box, so such a pair is contamination EVIDENCE (the lo
+side was interference-slowed) and is invalid both for passing and for
+failing (r7, closing VERDICT r6's "session E reads 1.746 and the report
+happily passes it").
+
+lo/hi (hence the Amdahl fit and the efficiency divisor) are read from the
+session's own summary record; a CLI factor argument overrides only when
+the file carries no summary (e.g. a partial log from a killed session).
 
 Usage: python scripts/scaling_report.py BENCH/scaling_rX_sessionY.jsonl [factor]
 """
@@ -25,9 +32,11 @@ import json
 import statistics
 import sys
 
+SUPERLINEAR_INVALID = 1.15
 
-def report(path: str, factor: float = 4.0) -> dict:
-    pairs = []
+
+def report(path: str, factor_cli: float | None = None) -> dict:
+    pairs, summary = [], None
     for ln in open(path):
         try:
             rec = json.loads(ln)
@@ -35,49 +44,68 @@ def report(path: str, factor: float = 4.0) -> dict:
             continue
         if "pair" in rec and "efficiency" in rec:
             pairs.append(rec)
+        elif "protocol" in rec and "lo" in rec and "hi" in rec:
+            summary = rec
+    if summary is not None:
+        lo, hi = summary["lo"], summary["hi"]
+        factor = hi / lo
+    else:
+        lo, hi = 2, 8
+        factor = factor_cli if factor_cli is not None else hi / lo
+    superlinear = [
+        p for p in pairs if p["efficiency"] > SUPERLINEAR_INVALID
+    ]
     clean = [
         p for p in pairs
         if p.get("gated_lo") and p.get("gated_hi")
         and not p.get("contaminated")
+        and p["efficiency"] <= SUPERLINEAR_INVALID
     ]
     use = clean or pairs
 
     def med(key):
         return statistics.median(p[key] for p in use)
 
-    pair_med = med("efficiency")
+    pair_med = statistics.median(p["efficiency"] for p in clean) if clean else None
     thr_med = (med("pps_hi") / med("pps_lo")) / factor
     out = {
         "file": path,
+        "lo": lo, "hi": hi, "factor": factor,
         "pairs_total": len(pairs),
         "pairs_clean": len(clean),
-        "pair_median_efficiency": round(pair_med, 3),
+        "pairs_superlinear_invalid": len(superlinear),
+        "pair_median_efficiency": (round(pair_med, 3)
+                                   if pair_med is not None else None),
         "median_pps_lo": round(med("pps_lo"), 1),
         "median_pps_hi": round(med("pps_hi"), 1),
         "throughput_median_efficiency": round(thr_med, 3),
-        "pass_pair_median": pair_med >= 0.8,
-        "pass_throughput_median": thr_med >= 0.8,
+        # pass flags are defined over CLEAN pairs only; a session with no
+        # clean pairs passes nothing (and fails nothing — it is invalid)
+        "pass_pair_median": pair_med is not None and pair_med >= 0.8,
+        "pass_throughput_median": bool(clean) and thr_med >= 0.8,
         "per_pair": [p["efficiency"] for p in pairs],
     }
     # Amdahl fit over the session's FAST STATES (min runtimes — the
-    # convoy-free estimator): sec = s + p/cores with lo=2, hi=8 solves to
-    # s (the per-run serial constant: driver job setup + the core-count-
-    # invariant tier write) and p (single-core parallel work). The
-    # convoy-free efficiency ((s+p/2)/(s+p/8))/4 is what the session
-    # would measure with zero kernel-convoy noise; s bounds what run
-    # length is needed for any target efficiency.
+    # convoy-free estimator): sec = s + p/cores solved from the session's
+    # ACTUAL lo/hi (not hardcoded): p = (t_lo - t_hi)/(1/lo - 1/hi),
+    # s = t_lo - p/lo. The convoy-free efficiency (t_lo/t_hi)/factor is
+    # what the session would measure with zero kernel-convoy noise; s
+    # bounds what run length any target efficiency needs. A fit with
+    # s < 0 is flagged underdetermined (noise exceeded the serial
+    # constant — display only, never evidence).
     t_lo = min(p["sec_lo"] for p in use)
     t_hi = min(p["sec_hi"] for p in use)
-    p_par = (t_lo - t_hi) * 8 / 3
-    s_ser = t_lo - p_par / 2
+    p_par = (t_lo - t_hi) / (1.0 / lo - 1.0 / hi)
+    s_ser = t_lo - p_par / lo
     out["amdahl"] = {
         "fast_sec_lo": round(t_lo, 1), "fast_sec_hi": round(t_hi, 1),
         "serial_s": round(s_ser, 1), "parallel_1core_s": round(p_par, 1),
-        "convoy_free_efficiency": round((t_lo / t_hi) / 4, 3),
+        "convoy_free_efficiency": round((t_lo / t_hi) / factor, 3),
+        "underdetermined": s_ser < 0,
     }
     return out
 
 
 if __name__ == "__main__":
-    f = float(sys.argv[2]) if len(sys.argv) > 2 else 4.0
+    f = float(sys.argv[2]) if len(sys.argv) > 2 else None
     print(json.dumps(report(sys.argv[1], f), indent=2))

@@ -481,6 +481,30 @@ def test_connected_components_star_matches_minprop(spark):
     assert star == prop
 
 
+def test_connected_components_driver_matches_star(spark):
+    """The size-guarded driver union-find path (edge count <= driver_cap
+    collects and solves on the driver) and the forced distributed star
+    alternation (driver_cap=0) produce identical (id, cluster_id) labels
+    on the same mixed-shape random graph — for numeric AND string ids —
+    and self-loop-only vertices are excluded by both (the documented
+    contract)."""
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 300, (400, 2))]
+    edges += [(900 + i, 900 + i + 1) for i in range(40)]   # chain
+    edges += [(555, 555)]                                  # self loop only
+    e = spark.createDataFrame(edges, "src long, dst long")
+    drv = sorted(map(tuple, DD.connected_components(e).collect()))
+    star = sorted(map(tuple, DD.connected_components(e, driver_cap=0).collect()))
+    assert drv == star
+    assert 555 not in {i for i, _ in drv}
+    es = spark.createDataFrame(
+        [(f"d{a:04d}", f"d{b:04d}") for a, b in edges], "src string, dst string"
+    )
+    drv_s = sorted(map(tuple, DD.connected_components(es).collect()))
+    star_s = sorted(map(tuple, DD.connected_components(es, driver_cap=0).collect()))
+    assert drv_s == star_s
+
+
 def test_dedup_keep_drops_planted(spark):
     """dedup_keep removes the planted exact+near dup, keeps the originals
     and everything else untouched."""

@@ -186,6 +186,14 @@ def rollup_raw_partial_digest(
     part = df.select(*key_list, ts_col, value_col).mapInPandas(
         partials, schema=partial_schema
     )
+    # pin the merge width (same rationale as pack_tier, guide §2.5): the
+    # digest-merge stage's cost is per ROW through the Arrow boundary, and
+    # AQE's byte-based coalescing shrinks this small-bytes exchange to a
+    # handful of tasks; an explicit keyed repartition keeps the reduce
+    # wide and is satisfied by the following groupBy (same keys — no
+    # second exchange)
+    width = df.sparkSession.sparkContext.defaultParallelism
+    part = part.repartition(width, *key_list, "window_start")
 
     @F.pandas_udf("array<double>")
     def merge(states: pd.Series) -> pd.Series:

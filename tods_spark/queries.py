@@ -662,8 +662,17 @@ GROUP BY 1
 )
 def denormalize_revenue(spark, sf_dir):
     """DenormalizePrimitive: FK-flatten the star schema then aggregate —
-    dims broadcast (Catalyst picks BHJ under the 64MB threshold)."""
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dims broadcast (Catalyst picks BHJ under the 64MB threshold). The
+    fact side gets the `_ensure_parallelism` guard (r7): a single-row-
+    group lineitem file scans as ONE task, serializing the 4-way probe;
+    a keyed repartition (keyed: round-robin would pay
+    sortBeforeRepartition) wins ~20% at sf0.1 and is a no-op once the
+    scan has real splits. (The same guard LOSES on the events queries —
+    measured per query — their first stage is a cheap partial agg, so
+    only the join-heavy fact scan gets it.)"""
+    l = DD._ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "l_orderkey"
+    )
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
