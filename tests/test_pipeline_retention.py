@@ -266,3 +266,53 @@ def test_refresh_fence_survives_crash_mid_mark_loop(spark, tmp_path):
     done = CheckpointLog(ckpt).done_partitions("refresh", "1m")
     assert set(dates) <= done
     raw.unpersist()
+
+
+def test_refresh_fence_survives_crash_before_first_mark(spark, tmp_path):
+    """The window ADVICE r6 flagged: a crash BETWEEN the 1m overwrite
+    commit and the FIRST per-partition mark (the read-back stats job runs
+    before any mark is appended) used to leave zero marks, so the retry
+    saw no overlap and re-merged the already-merged batch. The r7
+    batch-level "1m_commit" record — appended the moment the overwrite
+    returns — must fence that retry: no re-merge, all marks backfilled,
+    no double count."""
+    import json as J
+
+    from tods_spark.pipeline import refresh_engine
+    from tods_spark.plans.checkpoint import CheckpointLog
+
+    raw = token_table(spark, 8000, partitions=4).cache()
+    doc_n = F.substring("doc_id", 5, 15).cast("long")
+    on_time = raw.filter(doc_n % 13 != 0)
+    late = raw.filter(doc_n % 13 == 0)
+
+    base = str(tmp_path / "fence2")
+    run_engine(spark, on_time, base, with_digest=True, pack=False)
+    rep = refresh_engine(spark, late, base)
+    dates = sorted(rep["1m"]["refreshed"])
+
+    # simulate the crash: drop EVERY per-partition 1m refresh mark but
+    # keep the batch-level commit record (the overwrite committed, then
+    # the process died inside the read-back, before the first mark)
+    ckpt = f"{base}/checkpoint.jsonl"
+    recs = [J.loads(ln) for ln in open(ckpt) if ln.strip()]
+    kept = [
+        r for r in recs
+        if not (r.get("refresh") and r["tier"] == "1m")
+    ]
+    assert any(r["tier"] == "1m_commit" for r in kept)
+    with open(ckpt, "w") as fh:
+        fh.write("\n".join(J.dumps(r) for r in kept) + "\n")
+
+    rep2 = refresh_engine(spark, late, base)
+    assert rep2["1m"]["merged"] is False   # commit record fenced the merge
+    assert sorted(rep2["1m"]["refreshed"]) == dates  # all marks backfilled
+    for tier in ("1m", "1h", "1d"):
+        assert (
+            spark.read.parquet(f"{base}/tier_{tier}")
+            .agg(F.sum("cnt")).collect()[0][0]
+            == 8000
+        ), tier
+    done = CheckpointLog(ckpt).done_partitions("refresh", "1m")
+    assert set(dates) <= done
+    raw.unpersist()

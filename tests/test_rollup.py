@@ -120,6 +120,39 @@ def test_datagen_partition_independent(spark):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_merge_digest_series_matches_per_row_kernel():
+    """The r7 batch merge kernel must agree with merge_digests row by row
+    across all three regimes: exact (sorted-sample digests, vectorized
+    fast path), oversize (total > K+1 — grid fallback), and non-exact
+    inputs (grid digests with size != cnt), plus empty/NaN edge rows."""
+    rng = np.random.default_rng(3)
+    k = sketches.K_DEFAULT
+    states = []
+    for i in range(500):
+        kind = i % 4
+        if kind == 0:  # exact, small
+            st = [{"qdigest": np.sort(rng.random(int(rng.integers(1, 5)))),
+                   "cnt": None} for _ in range(int(rng.integers(1, 4)))]
+            for s in st:
+                s["cnt"] = len(s["qdigest"])
+        elif kind == 1:  # oversize: exact digests whose merge exceeds K+1
+            st = [{"qdigest": np.sort(rng.random(40)), "cnt": 40},
+                  {"qdigest": np.sort(rng.random(40)), "cnt": 40}]
+        elif kind == 2:  # non-exact: grid digest (size k+1, cnt >> size)
+            st = [{"qdigest": np.sort(rng.random(k + 1)), "cnt": 500},
+                  {"qdigest": np.sort(rng.random(3)), "cnt": 3}]
+        else:  # empty / zero-count rows
+            st = [{"qdigest": np.array([]), "cnt": 0}]
+        states.append(st)
+    got = sketches.merge_digest_series(states)
+    for st, g in zip(states, got):
+        want = sketches.merge_digests(
+            [np.asarray(s["qdigest"], float) for s in st],
+            np.asarray([s["cnt"] for s in st], float),
+        )
+        np.testing.assert_array_equal(np.asarray(g), want)
+
+
 def test_partial_digest_rollup_equivalent(spark):
     """Map-side partial digest path: identical algebraic state to the
     collect_list path, digests rank-equivalent (exact at small windows)."""

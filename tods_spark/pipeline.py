@@ -163,17 +163,18 @@ def refresh_engine(
     Delivery contract: the MERGE is incremental, so each late batch must
     be applied AT MOST ONCE (re-merging double-counts — unlike
     run_engine's recompute-from-raw, which is naturally idempotent).
-    The checkpoint fences this per job_id, and the fence is on ANY
-    OVERLAP between this batch's dates and the partitions already marked
-    done for (job_id, "1m"): the 1m partition overwrite commits as ONE
-    Spark job and the per-partition marks are appended only after it
-    returns, so a single mark existing proves the merged bytes are on
-    disk. (A subset fence would re-merge — double-counting — after a
-    crash mid-mark-loop.) On a fenced re-run, marks missing for some
-    dates (crash between write and mark loop) are backfilled from a
-    read-back of the written partitions, and the (idempotent) upward
-    cascade is re-derived — so retrying a refresh that crashed at ANY
-    point after the 1m write commit is safe. Re-delivering a batch under
+    The checkpoint fences this per job_id: the 1m partition overwrite
+    commits as ONE Spark job, a batch-level "1m_commit" record is
+    appended the moment it returns (r7 — BEFORE the stats read-back job
+    that precedes the per-partition marks, closing the window where a
+    crash left zero marks and the retry re-merged), and the fence trips
+    on EITHER that commit record OR any overlap between this batch's
+    dates and the partitions already marked done for (job_id, "1m").
+    (A subset fence would re-merge — double-counting — after a crash
+    mid-mark-loop.) On a fenced re-run, marks missing for some dates are
+    backfilled from a read-back of the written partitions, and the
+    (idempotent) upward cascade is re-derived — so retrying a refresh
+    that crashed at ANY point after the 1m write commit is safe. Re-delivering a batch under
     a NEW job_id is the caller's bug, the same offset-commit discipline
     any log-consumer job has. Upstream re-delivery within a stream is
     already handled by streaming.streaming_dedup.
@@ -212,21 +213,37 @@ def refresh_engine(
             )
         return total
 
-    def _overwrite(table: PartitionedTable, tier: str, df, parts):
+    def _overwrite(table: PartitionedTable, tier: str, df, parts,
+                   commit_mark: bool = False):
         out = df.withColumn(
             "part_key", F.date_format("window_start", "yyyy-MM-dd")
         ).filter(F.col("part_key").isin(parts))
         table.overwrite_partitions(out)
+        if commit_mark:
+            # batch-level write-committed record, appended IMMEDIATELY
+            # after the overwrite returns and BEFORE the stats read-back
+            # (r7, ADVICE): _mark_from_readback runs a full Spark job
+            # first, so a crash inside that window used to leave ZERO
+            # marks — the retry saw no overlap and re-merged the already-
+            # merged batch. The marker lives under its own tier key
+            # ("1m_commit") so done_partitions(job_id, "1m") and the
+            # build-path run_tier bookkeeping never see it.
+            ckpt.mark(job_id=job_id, tier=f"{tier}_commit",
+                      partition="_batch", status="done", refresh=True)
         total = _mark_from_readback(table, tier, parts)
         report[tier] = {"refreshed": parts, "rows_out": total}
 
     t1m_table = PartitionedTable(spark, f"{base_dir}/tier_1m", ["part_key"])
     already = ckpt.done_partitions(job_id, "1m")
-    if set(dates) & already:
-        # fenced re-run: the 1m overwrite commits as one Spark job and
-        # marks follow it, so ANY overlapping mark proves the merge is on
-        # disk — re-merging would double-count. Backfill marks lost to a
-        # crash mid-mark-loop, then only re-derive the idempotent upward
+    committed = ckpt.done_partitions(job_id, "1m_commit")
+    if (set(dates) & already) or committed:
+        # fenced re-run: the 1m overwrite commits as one Spark job, a
+        # batch-level "1m_commit" record is appended the moment it
+        # returns, and per-partition marks follow — so EITHER any
+        # overlapping mark OR the commit record proves the merge is on
+        # disk; re-merging would double-count. Backfill marks lost to a
+        # crash after the commit point (whether before the first mark or
+        # mid-mark-loop), then only re-derive the idempotent upward
         # cascade.
         missing = sorted(set(dates) - already)
         recovered = (
@@ -240,7 +257,7 @@ def refresh_engine(
             t1m_table.read().drop("part_key"), late_df, "1m",
             value_col=value_col, keys=keys,
         )
-        _overwrite(t1m_table, "1m", refreshed, dates)
+        _overwrite(t1m_table, "1m", refreshed, dates, commit_mark=True)
         report["1m"]["merged"] = True
 
     # upward: a 1h/1d window lies within one day, so recomputing the
