@@ -163,6 +163,7 @@ path, cores = sys.argv[1], int(sys.argv[2])
 # one convoy-hit task doesn't stall a 1-task-per-core stage
 spark = get_spark(app_name=f"scaling_{cores}", cores=cores,
                   shuffle_partitions=32)
+stage_t = {}
 
 
 def job():
@@ -178,26 +179,46 @@ def job():
     # regardless of the plans.
     from concurrent.futures import ThreadPoolExecutor
     raw = spark.read.parquet(path)
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        stage_t[name] = round(time.time() - t0, 2)
+        return out
+
     with tempfile.TemporaryDirectory() as td:
         t1m_path = os.path.join(td, "tier_1m.parquet")
-        rollup_raw_partial_digest(raw, "1m").write.mode("overwrite").parquet(t1m_path)
+        timed("w1m", lambda: rollup_raw_partial_digest(raw, "1m")
+              .write.mode("overwrite").parquet(t1m_path))
         t1m = spark.read.parquet(t1m_path)
-        rows = {"1m": t1m.count()}
+        rows = {}
+
+        # v6.1 (session C instrumentation): the 1m count joins the pool —
+        # it reads the stored tier like every other branch — and each
+        # branch reports its wall seconds so the Amdahl serial can be
+        # attributed to a stage instead of inferred.
+        def count_1m():
+            rows["1m"] = timed("c1m", t1m.count)
 
         def cascade_chain():
-            t1h = rollup_cascade(t1m, "1m", "1h")
-            rows["1h"] = t1h.count()
-            rows["1d"] = rollup_cascade(t1h, "1h", "1d").count()
+            def chain():
+                t1h = rollup_cascade(t1m, "1m", "1h")
+                rows["1h"] = t1h.count()
+                rows["1d"] = rollup_cascade(t1h, "1h", "1d").count()
+            timed("cascade", chain)
 
         def gap():
-            gapfill.gap_fill_tier(t1m, 60).count()
+            timed("gap", gapfill.gap_fill_tier(t1m, 60).count)
 
         def pack():
-            packed = compression.pack_tier(t1m, value_col="avg_n_tok")
-            packed.agg(F.sum("n_points")).collect()
+            def p():
+                packed = compression.pack_tier(t1m, value_col="avg_n_tok")
+                packed.agg(F.sum("n_points")).collect()
+            timed("pack", p)
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            futs = [pool.submit(f) for f in (cascade_chain, gap, pack)]
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [pool.submit(f)
+                    for f in (count_1m, cascade_chain, gap, pack)]
             for f in futs:
                 f.result()
     return sum(rows[t] for t in ("1m", "1h", "1d")) * len(AGG_COLS)
@@ -209,8 +230,10 @@ for line in sys.stdin:
     if line.strip() == "quit":
         break
     t0 = time.time()
+    stage_t.clear()
     job()
-    print(json.dumps({"sec": time.time() - t0}), flush=True)
+    print(json.dumps({"sec": time.time() - t0, "stages": dict(stage_t)}),
+          flush=True)
 """
 
 
@@ -322,9 +345,13 @@ def _timed(p: subprocess.Popen, tag: str) -> dict:
     e0 = _external_jiffies()
     p.stdin.write("go\n")
     p.stdin.flush()
-    sec = json.loads(p.stdout.readline())["sec"]
+    rec = json.loads(p.stdout.readline())
+    sec = rec["sec"]
     ext_cores = max(0.0, (_external_jiffies() - e0) / HZ / sec)
-    return {"sec": sec, "ext_cores": round(ext_cores, 2), **g}
+    out = {"sec": sec, "ext_cores": round(ext_cores, 2), **g}
+    if rec.get("stages"):
+        out["stages"] = rec["stages"]
+    return out
 
 
 def _warm(p: subprocess.Popen, tag: str, max_tries: int = 6) -> None:

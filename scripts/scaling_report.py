@@ -62,6 +62,13 @@ def report(path: str, factor_cli: float | None = None) -> dict:
         and p["efficiency"] <= SUPERLINEAR_INVALID
     ]
     use = clean or pairs
+    if not use:
+        return {
+            "file": path, "lo": lo, "hi": hi, "factor": factor,
+            "pairs_total": 0, "pairs_clean": 0,
+            "pairs_superlinear_invalid": 0,
+            "note": "no completed pairs in log (killed/partial session)",
+        }
 
     def med(key):
         return statistics.median(p[key] for p in use)

@@ -72,6 +72,33 @@ def test_gap_fill_tier_interpolates(spark):
     assert list(out["is_gap"]) == [False, False, True, True, False]
 
 
+def test_gap_fill_tier_chunked_matches_perkey(spark):
+    """Differential: the chunked interpolation windows (optimization r7 —
+    parallelism |keys|×|chunks| instead of |keys|) are bit-identical to
+    the per-key form, including cross-chunk gaps (a gap spanning a chunk
+    boundary must read its prev/next observed point from OTHER chunks),
+    leading/trailing gaps within a chunk, and multi-key inputs."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for src in ("web", "chat", "code"):
+        # observed minutes with long gaps; chunk_intervals=4 below forces
+        # many chunk boundaries inside the gaps
+        ts = np.unique(rng.choice(np.arange(0, 90), size=25)) * 60
+        for t in ts:
+            rows.append((src, pd.Timestamp(t, unit="s"),
+                         int(rng.integers(1, 9)), float(rng.normal(30, 8))))
+    pdf = pd.DataFrame(rows, columns=["source", "window_start", "cnt",
+                                      "avg_n_tok"])
+    df = spark.createDataFrame(pdf)
+    cols = ["source", "window_start", "cnt", "avg_n_tok", "is_gap"]
+    old = (gapfill.gap_fill_tier(df, 60, chunk_intervals=0)
+           .select(cols).orderBy("source", "window_start").toPandas())
+    new = (gapfill.gap_fill_tier(df, 60, chunk_intervals=4)
+           .select(cols).orderBy("source", "window_start").toPandas())
+    pd.testing.assert_frame_equal(old, new, check_exact=True)
+    assert new["is_gap"].any() and (~new["is_gap"]).any()
+
+
 def test_dedup_first_and_average(spark):
     pdf = pd.DataFrame(
         {

@@ -395,16 +395,29 @@ def minhash_lsh_candidates(
     assert k % bands == 0
     r = k // bands
     sig = minhash_signatures(df, id_col, col, n, k, hash_fn)
+    # Band-bucket width (optimization round 7, guide §2.3 "narrower
+    # types"): the (id, band, bucket) rows are the pipeline's ONLY big
+    # exchange, and the bucket was a 32-char md5 HEX string. md5 path:
+    # unhex() to the 16 raw bytes — hex↔bytes is a bijection, so equality
+    # classes (hence the candidate-pair set) are bit-identical, at half
+    # the bucket bytes and a cheaper binary comparison in the join.
+    # xxhash64 engine path (no oracle twin shares its buckets): the band
+    # hash is xxhash64 over the band's coordinates — an 8-byte long, ~4x
+    # narrower than the hex string and hashed/compared as a primitive.
+    if hash_fn == "md5":
+        def band_hash(b):
+            return F.unhex(F.md5(F.concat_ws(",", *[
+                F.col("sig")[i].cast("string")
+                for i in range(b * r, (b + 1) * r)
+            ])))
+    else:
+        def band_hash(b):
+            return F.xxhash64(*[F.col("sig")[i]
+                                for i in range(b * r, (b + 1) * r)])
     banded = sig.select(
         "id",
         F.posexplode(
-            F.array(*[
-                F.md5(F.concat_ws(",", *[
-                    F.col("sig")[i].cast("string")
-                    for i in range(b * r, (b + 1) * r)
-                ]))
-                for b in range(bands)
-            ])
+            F.array(*[band_hash(b) for b in range(bands)])
         ).alias("band", "bucket"),
     )
     # SHUFFLE_HASH hint (optimization round 7): the band self-join's two

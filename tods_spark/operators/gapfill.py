@@ -120,6 +120,7 @@ def gap_fill_tier(
     interp_cols: tuple[str, ...] = ("avg_n_tok",),
     zero_cols: tuple[str, ...] = ("cnt",),
     window_col: str = "window_start",
+    chunk_intervals: int = 1024,
 ) -> DataFrame:
     """Fill missing tumbling windows per key with interpolated aggregates.
 
@@ -129,6 +130,20 @@ def gap_fill_tier(
     get `is_gap = true`, cnt-like cols 0, interp cols linear between the
     previous/next observed windows (the tumbling-window interpolation of the
     north star).
+
+    Parallelism (optimization round 7, guide §2.5): the interpolation
+    windows previously partitioned by ``keys`` alone, so the whole fill ran
+    on at most |keys| tasks — one key's calendar span (years of minutes at
+    production retention) landed on ONE task, and the 2→8 scaling sessions
+    measured the stage as quasi-serial time. The windows now partition by
+    (keys, chunk) where chunk groups ``chunk_intervals`` consecutive grid
+    slots, and the cross-chunk carry (the last/next observed value beyond
+    the chunk edge) is reconstructed from a per-(key, chunk) boundary table
+    — |keys|×|chunks| rows, orders of magnitude smaller than the grid —
+    with one window over that table and an equi-join back on the window's
+    own (keys, chunk) partitioning. Results are identical (same global
+    prev/next observed points, same formula); parallelism becomes
+    |keys| × |chunks|. ``chunk_intervals=0`` restores the per-key windows.
     """
     span = tier_df.groupBy(*keys).agg(
         F.min(window_col).alias("__lo__"), F.max(window_col).alias("__hi__")
@@ -146,21 +161,128 @@ def gap_fill_tier(
     joined = grid.join(tier_df, [*keys, window_col], "left").withColumn(
         "is_gap", F.col(zero_cols[0]).isNull() if zero_cols else F.lit(False)
     )
-    w = Window.partitionBy(*keys).orderBy(window_col)
     ts = F.col(window_col).cast("double")
+    if not chunk_intervals:
+        w = Window.partitionBy(*keys).orderBy(window_col)
+        for c in interp_cols:
+            prev_v = F.last(c, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            prev_t = F.last(
+                F.when(F.col(c).isNotNull(), ts), ignorenulls=True
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            next_v = F.first(c, ignorenulls=True).over(
+                w.rowsBetween(0, Window.unboundedFollowing)
+            )
+            next_t = F.first(
+                F.when(F.col(c).isNotNull(), ts), ignorenulls=True
+            ).over(w.rowsBetween(0, Window.unboundedFollowing))
+            frac = (ts - prev_t) / (next_t - prev_t)
+            interp = F.when(
+                F.col(c).isNotNull(), F.col(c)
+            ).otherwise(
+                F.when(next_t == prev_t, prev_v).otherwise(
+                    F.coalesce(prev_v + (next_v - prev_v) * frac,
+                               prev_v, next_v)
+                )
+            )
+            joined = joined.withColumn(c, interp)
+        for c in zero_cols:
+            joined = joined.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+        return joined
+
+    chunk = (
+        F.floor(F.col(window_col).cast("long")
+                / F.lit(int(interval_sec) * int(chunk_intervals)))
+        .alias("__chk__")
+    )
+    joined = joined.withColumn("__chk__", chunk)
+    # per-(key, chunk) boundary summary, computed from the PRE-window rows
+    # (the observed tier points themselves), so this branch is a plain
+    # hash aggregate over the window's reused exchange — it never re-runs
+    # the window pass: last/first observed (ts, value) per chunk via
+    # max/min over when(observed, struct(ts, v)) (nulls never win)
+    bnd = joined.groupBy(*keys, "__chk__").agg(
+        *[
+            agg_fn(
+                F.when(F.col(c).isNotNull(),
+                       F.struct(ts.alias("t"), F.col(c).alias("v")))
+            )[fld].alias(name.format(c=c))
+            for c in interp_cols
+            for agg_fn, fld, name in (
+                (F.max, "v", "__last_{c}_v__"),
+                (F.max, "t", "__last_{c}_pt__"),
+                (F.min, "v", "__first_{c}_v__"),
+                (F.min, "t", "__first_{c}_nt__"),
+            )
+        ],
+    )
+    wc = Window.partitionBy(*keys, "__chk__").orderBy(window_col)
+    # pass 1: within-chunk prev/next observed (value, ts) per interp col
+    local_cols = []
     for c in interp_cols:
-        prev_v = F.last(c, ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
+        joined = (
+            joined.withColumn(
+                f"__pv_{c}__",
+                F.last(c, ignorenulls=True)
+                .over(wc.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .withColumn(
+                f"__pt_{c}__",
+                F.last(F.when(F.col(c).isNotNull(), ts), ignorenulls=True)
+                .over(wc.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .withColumn(
+                f"__nv_{c}__",
+                F.first(c, ignorenulls=True)
+                .over(wc.rowsBetween(0, Window.unboundedFollowing)),
+            )
+            .withColumn(
+                f"__nt_{c}__",
+                F.first(F.when(F.col(c).isNotNull(), ts), ignorenulls=True)
+                .over(wc.rowsBetween(0, Window.unboundedFollowing)),
+            )
         )
-        prev_t = F.last(F.when(F.col(c).isNotNull(), ts), ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
+        local_cols += [f"__pv_{c}__", f"__pt_{c}__",
+                       f"__nv_{c}__", f"__nt_{c}__"]
+    # pass 2: cross-chunk carry over the SMALL boundary table — per key,
+    # the last observed at/before the previous chunk's end and the first
+    # observed at/after the next chunk's start
+    wb = Window.partitionBy(*keys).orderBy("__chk__")
+    carry_cols = []
+    for c in interp_cols:
+        bnd = (
+            bnd.withColumn(
+                f"__cpv_{c}__",
+                F.last(f"__last_{c}_v__", ignorenulls=True)
+                .over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            )
+            .withColumn(
+                f"__cpt_{c}__",
+                F.last(f"__last_{c}_pt__", ignorenulls=True)
+                .over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            )
+            .withColumn(
+                f"__cnv_{c}__",
+                F.first(f"__first_{c}_v__", ignorenulls=True)
+                .over(wb.rowsBetween(1, Window.unboundedFollowing)),
+            )
+            .withColumn(
+                f"__cnt_{c}__",
+                F.first(f"__first_{c}_nt__", ignorenulls=True)
+                .over(wb.rowsBetween(1, Window.unboundedFollowing)),
+            )
         )
-        next_v = F.first(c, ignorenulls=True).over(
-            w.rowsBetween(0, Window.unboundedFollowing)
-        )
-        next_t = F.first(F.when(F.col(c).isNotNull(), ts), ignorenulls=True).over(
-            w.rowsBetween(0, Window.unboundedFollowing)
-        )
+        carry_cols += [f"__cpv_{c}__", f"__cpt_{c}__",
+                       f"__cnv_{c}__", f"__cnt_{c}__"]
+    joined = joined.join(
+        bnd.select(*keys, "__chk__", *carry_cols), [*keys, "__chk__"], "left"
+    )
+    for c in interp_cols:
+        prev_v = F.coalesce(F.col(f"__pv_{c}__"), F.col(f"__cpv_{c}__"))
+        prev_t = F.coalesce(F.col(f"__pt_{c}__"), F.col(f"__cpt_{c}__"))
+        next_v = F.coalesce(F.col(f"__nv_{c}__"), F.col(f"__cnv_{c}__"))
+        next_t = F.coalesce(F.col(f"__nt_{c}__"), F.col(f"__cnt_{c}__"))
         frac = (ts - prev_t) / (next_t - prev_t)
         interp = F.when(
             F.col(c).isNotNull(), F.col(c)
@@ -172,4 +294,4 @@ def gap_fill_tier(
         joined = joined.withColumn(c, interp)
     for c in zero_cols:
         joined = joined.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
-    return joined
+    return joined.drop("__chk__", *local_cols, *carry_cols)
