@@ -390,15 +390,20 @@ def main() -> None:
     lo = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     hi = int(sys.argv[5]) if len(sys.argv) > 5 else 8
     runs = int(sys.argv[6]) if len(sys.argv) > 6 else 2  # per side per pair
+    # optional argv[7]: path to an ALREADY-REPLICATED input written by a
+    # previous session's SETUP with the same (n_docs, rep) — skips the
+    # ~30 min untimed setup; the caller asserts the provenance
+    reuse = sys.argv[7] if len(sys.argv) > 7 else None
     factor = hi / lo
     # disjoint pinned core sets; idle JVM is blocked on stdin anyway
     lo_cpus = f"0-{lo - 1}"
     hi_cpus = f"{lo}-{lo + hi - 1}"
     with tempfile.TemporaryDirectory() as td:
-        path = os.path.join(td, "tokens.parquet")
-        subprocess.run([sys.executable, "-c", SETUP, path, str(n_docs),
-                        str(rep)],
-                       check=True, capture_output=True, text=True)
+        path = reuse or os.path.join(td, "tokens.parquet")
+        if not reuse:
+            subprocess.run([sys.executable, "-c", SETUP, path, str(n_docs),
+                            str(rep)],
+                           check=True, capture_output=True, text=True)
         p_lo = _spawn(path, lo, lo_cpus)
         p_hi = _spawn(path, hi, hi_cpus)
         points = _ready(p_lo)
