@@ -78,6 +78,33 @@ def test_minhash_lsh_finds_planted_pairs(spark):
     assert len(pairs) < 200
 
 
+def test_minhash_sig_sql_matches_column_builder(spark):
+    """Differential (optimization r7): the SQL-text signature builder
+    (`_minhash_sig_sql`, the low-construction-cost hot path) is
+    value-identical to the Column-object builder (`_minhash_sig_expr`,
+    kept for inline-expression callers) for both base hashes."""
+    pdf = _corpus()
+    df = spark.createDataFrame(pdf)
+    for hash_fn in ("xxhash64", "md5"):
+        base = (
+            (lambda s: DD.md5_h64(s)) if hash_fn == "md5"
+            else (lambda s: F.xxhash64(s))
+        )
+        hs = F.transform(
+            DD.shingle_array("text", 3),
+            lambda s: F.pmod(base(s), F.lit(DD.MINHASH_P)),
+        )
+        via_col = (
+            df.select(F.col("doc_id").alias("id"), hs.alias("__hs__"))
+            .select("id", DD._minhash_sig_expr(F.col("__hs__"), 16)
+                    .alias("sig"))
+        )
+        via_sql = DD.minhash_signatures(df, k=16, hash_fn=hash_fn)
+        diff = (via_sql.alias("a").join(via_col.alias("b"), "id")
+                .filter("a.sig != b.sig").count())
+        assert diff == 0, hash_fn
+
+
 def test_simhash_properties(spark):
     pdf = _corpus()
     n = len(pdf) - 2

@@ -169,14 +169,11 @@ def ngram_jaccard_pairs(
     # higher-order functions instead of a self-join — no second pass, no
     # broadcast, identical pair multiset
     grouped = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x: F.transform(
-                F.filter(F.col("ids"), lambda y: y > x),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    # one SQL string for the nested pair transform (see _minhash_sig_sql)
+    pair_arr = F.expr(
+        "flatten(transform(ids, x -> "
+        "transform(filter(ids, y -> y > x), y -> "
+        "named_struct('id_a', x, 'id_b', y))))"
     )
     inter = (
         grouped.select(F.explode(pair_arr).alias("p"))
@@ -275,20 +272,14 @@ def dup_spans(
     grouped = sh.groupBy("shingle").agg(
         F.collect_list(F.struct("id", "pos")).alias("occs")
     )
-    occs = F.col("occs")
-    pair_arr = F.flatten(
-        F.transform(
-            occs,
-            lambda x: F.transform(
-                F.filter(occs, lambda y: y["id"] > x["id"]),
-                lambda y: F.struct(
-                    x["id"].alias("doc_a"),
-                    y["id"].alias("doc_b"),
-                    x["pos"].alias("i"),
-                    (x["pos"] - y["pos"]).alias("diag"),
-                ),
-            ),
-        )
+    # pair generation as ONE SQL string (optimization round 7, second
+    # pass): the nested-Column transform/filter/struct form cost ~30
+    # py4j round trips per query construction (see _minhash_sig_sql)
+    pair_arr = F.expr(
+        "flatten(transform(occs, x -> "
+        "transform(filter(occs, y -> y.id > x.id), y -> "
+        "named_struct('doc_a', x.id, 'doc_b', y.id, "
+        "'i', x.pos, 'diag', x.pos - y.pos))))"
     )
     m = grouped.select(F.explode(pair_arr).alias("p")).select("p.*")
     wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("i")
@@ -356,11 +347,29 @@ def minhash_signatures(
         else (lambda s: F.xxhash64(s))
     )
     hs = F.transform(shingles, lambda s: F.pmod(base(s), F.lit(MINHASH_P)))
-    sig = _minhash_sig_expr(F.col("__hs__"), k)
+    sig = F.expr(_minhash_sig_sql("__hs__", k))
     return (
         df.select(F.col(id_col).alias("id"), hs.alias("__hs__"))
         .select("id", sig.alias("sig"))
     )
+
+
+def _minhash_sig_sql(hs_sql: str, k: int) -> str:
+    """SQL text of `_minhash_sig_expr` for the hot construction path
+    (optimization round 7, second pass): building the k-term fused
+    update as nested Column objects costs ~100+ py4j round trips PER
+    QUERY CONSTRUCTION — measured 0.37-0.44 s of the minhash bench
+    entries' ~1.0 s timed region is pure driver-side DataFrame
+    construction. One `F.expr` string is a single parse on the JVM.
+    Values are identical to `_minhash_sig_expr` (same literals, same
+    integer arithmetic; differential pytest asserts equality)."""
+    av, bv = minhash_coeffs(k)
+    init = "array(" + ",".join([str(MINHASH_P + 1)] * k) + ")"
+    upd = ",".join(
+        f"least(acc[{i}], (h * {av[i]} + {bv[i]}) % {MINHASH_P})"
+        for i in range(k)
+    )
+    return f"aggregate({hs_sql}, {init}, (acc, h) -> array({upd}))"
 
 
 def _minhash_sig_expr(hs_col, k: int):
@@ -372,7 +381,10 @@ def _minhash_sig_expr(hs_col, k: int):
     bit-identical (same integer arithmetic — the init P+1 can never win
     because every permuted hash is < P, and the shingle array is never
     empty by construction of shingle_array). ~10% at sf0.1, more when
-    signatures dominate (long docs)."""
+    signatures dominate (long docs). Column-object form, kept for
+    callers whose hash array is an inline expression
+    (source_minhash_overlap); `_minhash_sig_sql` is the low-build-cost
+    SQL-text twin used on the hot path."""
     av, bv = minhash_coeffs(k)
     init = F.array(*[F.lit(MINHASH_P + 1).cast("long") for _ in range(k)])
     return F.aggregate(
@@ -404,21 +416,22 @@ def minhash_lsh_candidates(
     # xxhash64 engine path (no oracle twin shares its buckets): the band
     # hash is xxhash64 over the band's coordinates — an 8-byte long, ~4x
     # narrower than the hex string and hashed/compared as a primitive.
+    # (second pass: the bands array is built as ONE SQL string — the
+    # nested-Column form cost ~50 py4j round trips per query
+    # construction; see _minhash_sig_sql)
     if hash_fn == "md5":
         def band_hash(b):
-            return F.unhex(F.md5(F.concat_ws(",", *[
-                F.col("sig")[i].cast("string")
-                for i in range(b * r, (b + 1) * r)
-            ])))
+            cols = ",".join(f"cast(sig[{i}] as string)"
+                            for i in range(b * r, (b + 1) * r))
+            return f"unhex(md5(concat_ws(',', {cols})))"
     else:
         def band_hash(b):
-            return F.xxhash64(*[F.col("sig")[i]
-                                for i in range(b * r, (b + 1) * r)])
+            cols = ",".join(f"sig[{i}]" for i in range(b * r, (b + 1) * r))
+            return f"xxhash64({cols})"
+    band_arr = "array(" + ",".join(band_hash(b) for b in range(bands)) + ")"
     banded = sig.select(
         "id",
-        F.posexplode(
-            F.array(*[band_hash(b) for b in range(bands)])
-        ).alias("band", "bucket"),
+        F.posexplode(F.expr(band_arr)).alias("band", "bucket"),
     )
     # SHUFFLE_HASH hint (optimization round 7): the band self-join's two
     # sides are the SAME signature pipeline — under the default plan the
